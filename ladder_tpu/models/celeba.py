@@ -1,0 +1,98 @@
+"""CelebA-128 outer VAE: BN-conv pyramid encoder + StyleGAN-modulated decoder.
+
+Re-expression of /root/reference/codes/models.py:392-598 (CelebAModel_densenet)
+as flax modules. The encoder is 6x [conv -> batch_norm -> leaky_relu]
+(128->64->32->16->8->4-> valid), always in training mode (batch statistics;
+models.py:471). The decoder maps z through an 8-layer MLP "dlatent" network
+and a conv/resize pyramid with per-stage instance_norm + style modulation
+(models.py:505-587); bilinear resizes use TF1 legacy coordinates
+(align_corners=False) via resize_bilinear_tf1 for numeric parity.
+
+The raw decoder output is returned (the reference's is_training const is
+True, so the clip-to-[0,1] branch never runs in the graph; models.py:587);
+callers clip for visualisation exactly as the reference does in numpy.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from ladder_tpu.models.layers import (
+    BatchNormTrain,
+    Conv,
+    Dense,
+    StyleMod,
+    leaky_relu,
+)
+from ladder_tpu.ops.image import instance_norm, resize_bilinear_tf1
+
+
+class CelebAEncoder(nn.Module):
+    """models.py:392-488. 128x128x3 -> (code_mean, code_std)."""
+
+    num_hidden_units: int
+    code_size: int
+    kernel_size: int = 3
+    latent_variance_precision: float = 1e-3
+    bn_axis_name: str | None = None  # cross-replica BN if set
+
+    @nn.compact
+    def __call__(self, x):
+        h = self.num_hidden_units
+        k = self.kernel_size
+        widths = [h // 4, h // 4, h // 2, h // 2, h]
+        for w in widths:                                   # 128->64->32->16->8->4
+            x = Conv(w, k, strides=2)(x)
+            x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
+            x = leaky_relu(x)
+        x = Conv(h, k, padding="VALID")(x)                 # 4x4 -> 2x2 (k=3)
+        x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
+        x = leaky_relu(x)
+        x = x.reshape(x.shape[0], -1)
+        mean = Dense(self.code_size, name="code_mean")(x)
+        std = nn.relu(Dense(self.code_size, name="code_std_dev")(x))
+        return mean, std + self.latent_variance_precision
+
+
+class CelebADecoder(nn.Module):
+    """models.py:499-587. [B, code_size] -> [B,128,128,3] (unclipped)."""
+
+    num_hidden_units: int
+
+    @nn.compact
+    def __call__(self, z):
+        h = self.num_hidden_units
+        encoded = leaky_relu(Dense(h)(z))
+
+        # 8-layer dlatent mapping network (models.py:505-510)
+        dlatent = encoded
+        for i in range(8):
+            dlatent = leaky_relu(Dense(h, name=f"dlatent_{i}")(dlatent))
+
+        # decoded_1: 1x1 conv on the reshaped code, resize to 2x2
+        x = encoded.reshape(-1, 1, 1, h)
+        x = Conv(h, 1)(x)
+        x = resize_bilinear_tf1(x, 2, 2)
+        # decoded_2: 2x2, instance_norm + style mod 0
+        x = instance_norm(Conv(h, 3)(x))
+        x = leaky_relu(StyleMod(name="style_mod_0")(x, dlatent))
+        # decoded_3: -> 8 -> conv -> 16
+        x = instance_norm(Conv(h, 3)(x))
+        x = leaky_relu(StyleMod(name="style_mod_1")(x, dlatent))
+        x = resize_bilinear_tf1(x, 8, 8)
+        x = leaky_relu(Conv(h, 3)(x))
+        x = resize_bilinear_tf1(x, 16, 16)
+        # decoded_4: -> 32 -> conv -> 64
+        x = instance_norm(Conv(h // 2, 3)(x))
+        x = leaky_relu(StyleMod(name="style_mod_2")(x, dlatent))
+        x = resize_bilinear_tf1(x, 32, 32)
+        x = leaky_relu(Conv(h // 2, 3)(x))
+        x = resize_bilinear_tf1(x, 64, 64)
+        # decoded_5: -> 128 -> conv
+        x = instance_norm(Conv(h // 4, 3)(x))
+        x = leaky_relu(StyleMod(name="style_mod_3")(x, dlatent))
+        x = resize_bilinear_tf1(x, 128, 128)
+        x = leaky_relu(Conv(h // 4, 3)(x))
+        # decoded_6: 1x1 conv to 3 channels, linear
+        x = Conv(3, 1)(x)
+        return x

@@ -1,0 +1,363 @@
+"""On-device Gaussian-mixture fitting: EM and variational Bayesian EM.
+
+The reference fits its hyper-prior with scikit-learn on the host CPU once per
+epoch, pulling ~2k-20k encoded samples out of the graph and feeding the
+result back as placeholders (/root/reference/codes/base.py:88-124, 681-789).
+Here the whole fit runs on TPU under jit: the E-step is a [N,K] batched
+Cholesky quadratic form (MXU work), the M-step a pair of matmuls, and the
+loop a lax.while_loop with a lower-bound convergence test — no host round
+trip, the fitted parameters stay in HBM for the next epoch's ELBO.
+
+Three fitters, mirroring the reference's sklearn configurations:
+  * fit_em                — sklearn GaussianMixture(covariance_type='full')
+                            [GMM prior mode, base.py:100-106]
+  * fit_bgmm 'dirichlet_distribution' — the per-epoch "fast" warm-started fit
+                            (weight_concentration_prior=0.1, base.py:93-99)
+  * fit_bgmm 'dirichlet_process'      — the "accurate" DP-GMM fit
+                            (gamma=0.1, base.py:739-748)
+
+The VI updates follow the standard variational treatment of Bayesian mixture
+models (Bishop, PRML ch. 10.2; stick-breaking for the DP case), with
+sklearn-compatible prior defaults: mean_precision_prior=1, mean_prior=mean(X),
+degrees_of_freedom_prior=D, covariance_prior=cov(X), reg_covar=1e-6, and the
+same posterior-expectation reporting (covariances_ = W^-1/nu). A sklearn
+fallback backend (config['gmm_backend']='sklearn') exists for parity testing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import digamma, gammaln
+
+
+class GMMFit(NamedTuple):
+    """Fitted mixture in sklearn-compatible form."""
+    weights: jnp.ndarray      # [K]
+    means: jnp.ndarray        # [K,D]
+    covariances: jnp.ndarray  # [K,D,D]
+    lower_bound: jnp.ndarray  # scalar; ELBO (VI) or mean log-lik (EM)
+    n_iter: jnp.ndarray       # scalar int
+    converged: jnp.ndarray    # scalar bool
+
+
+# ---------------------------------------------------------------------------
+# k-means init (sklearn init_params='kmeans': kmeans++ seeding + Lloyd)
+# ---------------------------------------------------------------------------
+
+def kmeans_plusplus(rng, x, k):
+    """kmeans++ seeding. x: [N,D] -> centers [K,D]."""
+    n = x.shape[0]
+    r0, rloop = jax.random.split(rng)
+    first = x[jax.random.randint(r0, (), 0, n)]
+
+    def body(carry, r):
+        centers, i = carry
+        d2 = jnp.min(jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, -1)
+                     + jnp.where(jnp.arange(centers.shape[0]) < i, 0.0,
+                                 jnp.inf)[None, :], axis=1)
+        probs = d2 / jnp.maximum(jnp.sum(d2), 1e-30)
+        idx = jax.random.categorical(r, jnp.log(jnp.maximum(probs, 1e-30)))
+        centers = centers.at[i].set(x[idx])
+        return (centers, i + 1), None
+
+    centers = jnp.zeros((k, x.shape[1]), x.dtype).at[0].set(first)
+    (centers, _), _ = jax.lax.scan(body, (centers, 1),
+                                   jax.random.split(rloop, k - 1))
+    return centers
+
+
+def kmeans(rng, x, k, n_iter=25):
+    """Lloyd iterations. Returns (centers [K,D], labels [N])."""
+    centers = kmeans_plusplus(rng, x, k)
+
+    def body(centers, _):
+        d2 = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, -1)
+        labels = jnp.argmin(d2, axis=1)
+        onehot = jax.nn.one_hot(labels, k, dtype=x.dtype)
+        counts = jnp.sum(onehot, axis=0)
+        sums = onehot.T @ x
+        new = jnp.where(counts[:, None] > 0, sums / jnp.maximum(counts, 1)[:, None],
+                        centers)
+        return new, None
+
+    centers, _ = jax.lax.scan(body, centers, None, length=n_iter)
+    d2 = jnp.sum((x[:, None, :] - centers[None, :, :]) ** 2, -1)
+    return centers, jnp.argmin(d2, axis=1)
+
+
+def _resp_from_kmeans(rng, x, k):
+    _, labels = kmeans(rng, x, k)
+    return jax.nn.one_hot(labels, k, dtype=x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# shared statistics
+# ---------------------------------------------------------------------------
+
+def _gaussian_suffstats(x, resp, reg_covar):
+    """N_k, xbar_k, S_k (weighted scatter) from responsibilities."""
+    nk = jnp.sum(resp, axis=0) + 10 * jnp.finfo(resp.dtype).eps      # [K]
+    means = (resp.T @ x) / nk[:, None]                               # [K,D]
+    diff = x[:, None, :] - means[None, :, :]                         # [N,K,D]
+    # S_k = sum_n r_nk diff diff^T / N_k  -> einsum over N
+    covs = jnp.einsum("nk,nki,nkj->kij", resp, diff, diff) / nk[:, None, None]
+    covs = covs + reg_covar * jnp.eye(x.shape[1], dtype=x.dtype)
+    return nk, means, covs
+
+
+def _log_gaussian_prob(x, means, precisions_chol):
+    """[N,K] log N(x_n; mu_k, Sigma_k) given Cholesky factors of the
+    PRECISION matrices (as sklearn parameterises)."""
+    d = x.shape[1]
+    # y_nk = L_k^T (x_n - mu_k); precisions_chol[k] is lower L with
+    # Sigma^-1 = L L^T
+    y = jnp.einsum("kij,nkj->nki", jnp.swapaxes(precisions_chol, 1, 2),
+                   x[:, None, :] - means[None, :, :])
+    log_det = jnp.sum(jnp.log(jnp.abs(
+        jnp.diagonal(precisions_chol, axis1=1, axis2=2))), axis=1)   # [K]
+    return (-0.5 * (d * jnp.log(2 * jnp.pi) + jnp.sum(y * y, axis=2))
+            + log_det[None, :])
+
+
+def _precision_chol(covs):
+    """Cholesky of the precision from covariance: Sigma = C C^T ->
+    Sigma^-1 = C^-T C^-1; return lower factor L with Sigma^-1 = L L^T."""
+    chol = jnp.linalg.cholesky(covs)
+    k, d, _ = covs.shape
+    eye = jnp.broadcast_to(jnp.eye(d, dtype=covs.dtype), (k, d, d))
+    inv_chol = jax.lax.linalg.triangular_solve(
+        chol, eye, left_side=True, lower=True)       # C^-1 (lower)
+    return jnp.swapaxes(inv_chol, 1, 2)              # L = C^-T
+
+
+# ---------------------------------------------------------------------------
+# Maximum-likelihood EM (sklearn GaussianMixture)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k", "max_iter"))
+def fit_em(rng, x, k, max_iter=1000, tol=1e-3, reg_covar=1e-6,
+           init_weights=None, init_means=None, init_covs=None):
+    """Full-covariance EM. Pass init_* for warm starts (sklearn
+    warm_start=True, base.py:102-106); otherwise kmeans init."""
+    n, d = x.shape
+
+    if init_means is None:
+        resp = _resp_from_kmeans(rng, x, k)
+        nk, means, covs = _gaussian_suffstats(x, resp, reg_covar)
+        weights = nk / n
+    else:
+        weights, means, covs = init_weights, init_means, init_covs
+
+    def e_step(weights, means, covs):
+        pc = _precision_chol(covs)
+        log_prob = _log_gaussian_prob(x, means, pc)
+        weighted = log_prob + jnp.log(jnp.maximum(weights, 1e-38))[None, :]
+        log_norm = jax.nn.logsumexp(weighted, axis=1)
+        resp = jnp.exp(weighted - log_norm[:, None])
+        return resp, jnp.mean(log_norm)
+
+    def cond(state):
+        _, _, _, _, it, prev_ll, ll, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        weights, means, covs, resp, it, prev_ll, ll, _ = state
+        nk, means, covs = _gaussian_suffstats(x, resp, reg_covar)
+        weights = nk / n
+        resp, new_ll = e_step(weights, means, covs)
+        done = jnp.abs(new_ll - ll) < tol
+        return (weights, means, covs, resp, it + 1, ll, new_ll, done)
+
+    resp0, ll0 = e_step(weights, means, covs)
+    state = (weights, means, covs, resp0, jnp.asarray(0), -jnp.inf, ll0,
+             jnp.asarray(False))
+    weights, means, covs, resp, it, _, ll, done = jax.lax.while_loop(
+        cond, body, state)
+    return GMMFit(weights, means, covs, ll, it, done)
+
+
+# ---------------------------------------------------------------------------
+# Variational Bayesian EM (sklearn BayesianGaussianMixture)
+# ---------------------------------------------------------------------------
+
+class _VIPosterior(NamedTuple):
+    wc1: jnp.ndarray   # dirichlet alpha_k, or stick-breaking gamma_k1
+    wc2: jnp.ndarray   # unused for dirichlet_distribution; gamma_k2 for DP
+    beta: jnp.ndarray  # mean precisions [K]
+    m: jnp.ndarray     # posterior means [K,D]
+    nu: jnp.ndarray    # degrees of freedom [K]
+    winv: jnp.ndarray  # inverse scale matrices W^-1 [K,D,D]
+
+
+def _vi_m_step(x, resp, prior, reg_covar):
+    """Posterior updates (Bishop 10.58-10.63)."""
+    n, d = x.shape
+    wcp, beta0, m0, nu0, w0inv, dp = prior
+    nk, xbar, sk = _gaussian_suffstats(x, resp, reg_covar=0.0)
+    if dp:
+        # stick-breaking: gamma_k1 = 1 + N_k, gamma_k2 = gamma + sum_{j>k} N_j
+        tail = jnp.flip(jnp.cumsum(jnp.flip(nk))) - nk
+        wc1 = 1.0 + nk
+        wc2 = wcp + tail
+    else:
+        wc1 = wcp + nk
+        wc2 = jnp.zeros_like(nk)
+    beta = beta0 + nk
+    m = (beta0 * m0[None, :] + nk[:, None] * xbar) / beta[:, None]
+    nu = nu0 + nk
+    diff = xbar - m0[None, :]
+    winv = (w0inv[None, :, :] + nk[:, None, None] * sk
+            + (beta0 * nk / beta)[:, None, None]
+            * jnp.einsum("ki,kj->kij", diff, diff))
+    winv = winv + reg_covar * jnp.eye(d, dtype=x.dtype)
+    return _VIPosterior(wc1, wc2, beta, m, nu, winv), nk
+
+
+def _vi_expected_log_weights(post, dp):
+    if dp:
+        g1, g2 = post.wc1, post.wc2
+        log_v = digamma(g1) - digamma(g1 + g2)
+        log_1mv = digamma(g2) - digamma(g1 + g2)
+        cum = jnp.concatenate([jnp.zeros(1, log_v.dtype),
+                               jnp.cumsum(log_1mv)[:-1]])
+        return log_v + cum
+    alpha = post.wc1
+    return digamma(alpha) - digamma(jnp.sum(alpha))
+
+
+def _vi_e_step(x, post, dp):
+    """Responsibilities under the variational posterior (Bishop 10.46,
+    10.64-10.66). Returns (resp, mean log-normaliser)."""
+    n, d = x.shape
+    e_log_pi = _vi_expected_log_weights(post, dp)                     # [K]
+    covs = post.winv / post.nu[:, None, None]  # scale for quadratic form
+    pc = _precision_chol(covs)
+    # log |expected precision| term: E[log det Lambda]
+    i = jnp.arange(d, dtype=x.dtype)
+    e_logdet = (jnp.sum(digamma((post.nu[:, None] - i[None, :]) / 2.0), axis=1)
+                + d * jnp.log(2.0)
+                - jnp.sum(jnp.log(jnp.diagonal(
+                    jnp.linalg.cholesky(post.winv), axis1=1, axis2=2)), axis=1) * 2)
+    quad = -2.0 * (_log_gaussian_prob(x, post.m, pc)
+                   + 0.5 * d * jnp.log(2 * jnp.pi)
+                   - jnp.sum(jnp.log(jnp.abs(jnp.diagonal(pc, axis1=1, axis2=2))),
+                             axis=1)[None, :])                         # [N,K] nu*(x-m)W(x-m)
+    log_rho = (e_log_pi[None, :] + 0.5 * e_logdet[None, :]
+               - 0.5 * d / post.beta[None, :]
+               - 0.5 * quad
+               - 0.5 * d * jnp.log(2 * jnp.pi))
+    log_norm = jax.nn.logsumexp(log_rho, axis=1)
+    resp = jnp.exp(log_rho - log_norm[:, None])
+    return resp, jnp.mean(log_norm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "max_iter", "dirichlet_process"))
+def fit_bgmm(rng, x, k, max_iter=1000, tol=1e-3, reg_covar=1e-6,
+             weight_concentration_prior=0.1, dirichlet_process=False,
+             init_resp=None):
+    """Variational Bayesian GMM with sklearn-compatible priors.
+
+    dirichlet_process=False -> 'dirichlet_distribution' (fast per-epoch fit,
+    base.py:93-99); True -> 'dirichlet_process' stick-breaking (accurate fit,
+    base.py:739-748). Pass init_resp [N,K] for warm starts.
+    Returned covariances are posterior expectations W^-1/nu (sklearn's
+    covariances_) and weights are normalised posterior expectations.
+    """
+    n, d = x.shape
+    beta0 = 1.0
+    m0 = jnp.mean(x, axis=0)
+    nu0 = float(d)
+    xc = x - m0[None, :]
+    cov_x = (xc.T @ xc) / (n - 1) + reg_covar * jnp.eye(d, dtype=x.dtype)
+    w0inv = cov_x * nu0  # covariance_prior scaled into the Wishart inv-scale
+    prior = (weight_concentration_prior, beta0, m0, nu0, w0inv,
+             dirichlet_process)
+
+    if init_resp is None:
+        resp = _resp_from_kmeans(rng, x, k)
+    else:
+        resp = init_resp
+
+    post, _ = _vi_m_step(x, resp, prior, reg_covar)
+    resp, ll = _vi_e_step(x, post, dirichlet_process)
+
+    def cond(state):
+        _, _, it, prev_ll, ll, done = state
+        return (~done) & (it < max_iter)
+
+    def body(state):
+        post, resp, it, prev_ll, ll, _ = state
+        post, _ = _vi_m_step(x, resp, prior, reg_covar)
+        resp, new_ll = _vi_e_step(x, post, dirichlet_process)
+        done = jnp.abs(new_ll - ll) < tol
+        return (post, resp, it + 1, ll, new_ll, done)
+
+    state = (post, resp, jnp.asarray(0), -jnp.inf, ll, jnp.asarray(False))
+    post, resp, it, _, ll, done = jax.lax.while_loop(cond, body, state)
+
+    if dirichlet_process:
+        g1, g2 = post.wc1, post.wc2
+        v = g1 / (g1 + g2)
+        rest = jnp.concatenate([jnp.ones(1, v.dtype),
+                                jnp.cumprod(1.0 - v)[:-1]])
+        weights = v * rest
+        weights = weights / jnp.sum(weights)
+    else:
+        weights = post.wc1 / jnp.sum(post.wc1)
+
+    covariances = post.winv / post.nu[:, None, None]
+    return GMMFit(weights, post.m, covariances, ll, it, done), resp
+
+
+def fit_bgmm_restarts(rng, x, k, n_init=1, **kwargs):
+    """n_init independent fits; keep the best lower bound
+    (GM_fit_restart, base.py:743)."""
+    best = None
+    for r in jax.random.split(rng, n_init):
+        fit, resp = fit_bgmm(r, x, k, **kwargs)
+        if best is None or float(fit.lower_bound) > float(best[0].lower_bound):
+            best = (fit, resp)
+    return best
+
+
+# ---------------------------------------------------------------------------
+# sklearn parity backend (optional; for tests / config gmm_backend=sklearn)
+# ---------------------------------------------------------------------------
+
+def sklearn_fit(x, k, mode="fast", space_prior="dirichlet_distribution",
+                wcp=0.1, n_init=1, warm_model=None):
+    """Host-side sklearn fit matching the reference exactly
+    (base.py:88-106, 739-766). Returns (GMMFit-like tuple, model)."""
+    import numpy as np
+    from sklearn.mixture import BayesianGaussianMixture, GaussianMixture
+
+    x = np.asarray(x)
+    if warm_model is not None:
+        model = warm_model
+    elif space_prior == "ml":
+        model = GaussianMixture(n_components=k, covariance_type="full",
+                                max_iter=1000 if mode == "fast" else 2000,
+                                n_init=n_init, warm_start=(mode == "fast"))
+    else:
+        model = BayesianGaussianMixture(
+            n_components=k, covariance_type="full",
+            max_iter=1000 if mode == "fast" else 2000,
+            n_init=n_init,
+            weight_concentration_prior_type=space_prior,
+            weight_concentration_prior=wcp,
+            warm_start=(mode == "fast"))
+    model.fit(x)
+    fit = GMMFit(
+        weights=jnp.asarray(model.weights_),
+        means=jnp.asarray(model.means_),
+        covariances=jnp.asarray(model.covariances_),
+        lower_bound=jnp.asarray(getattr(model, "lower_bound_", 0.0)),
+        n_iter=jnp.asarray(getattr(model, "n_iter_", 0)),
+        converged=jnp.asarray(getattr(model, "converged_", True)),
+    )
+    return fit, model

@@ -1,0 +1,78 @@
+"""Image-space ops for the conv VAE stacks: depth_to_space, symmetric padding
+and TF1-semantics bilinear resize.
+
+depth_to_space replaces tf.nn.depth_to_space in the MNIST decoders
+(/root/reference/codes/models.py:113-141, 271-308) as a pure reshape/transpose
+— free at XLA level (fused into the neighbouring convs).
+
+resize_bilinear_tf1 reproduces TF1 tf.image.resize_images default semantics
+(align_corners=False, half_pixel_centers=False: src = dst * in/out), used by
+the CelebA style decoder (/root/reference/codes/models.py:519-578). jax.image
+.resize uses half-pixel centres, which drifts numerically from the reference;
+this gather+lerp version matches TF1 exactly and lowers to cheap XLA gathers.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def depth_to_space(x, block_size):
+    """[B,H,W,C*r^2] -> [B,H*r,W*r,C], NHWC, matching tf.nn.depth_to_space."""
+    b, h, w, c = x.shape
+    r = block_size
+    oc = c // (r * r)
+    x = x.reshape(b, h, w, r, r, oc)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h * r, w * r, oc)
+
+
+def space_to_depth(x, block_size):
+    """Inverse of depth_to_space."""
+    b, h, w, c = x.shape
+    r = block_size
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // r, w // r, c * r * r)
+
+
+def pad_symmetric(x, pad_h, pad_w):
+    """SYMMETRIC padding on the two spatial dims of NHWC (models.py:48-50)."""
+    return jnp.pad(x, ((0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)),
+                   mode="symmetric")
+
+
+def _tf1_resize_axis(x, out_size, axis):
+    """Bilinear resample one spatial axis with TF1 legacy coordinates."""
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    scale = in_size / out_size
+    src = jnp.arange(out_size, dtype=jnp.float32) * scale
+    lo = jnp.floor(src).astype(jnp.int32)
+    lo = jnp.clip(lo, 0, in_size - 1)
+    hi = jnp.clip(lo + 1, 0, in_size - 1)
+    frac = (src - lo.astype(jnp.float32)).astype(x.dtype)
+    x_lo = jnp.take(x, lo, axis=axis)
+    x_hi = jnp.take(x, hi, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    frac = frac.reshape(shape)
+    return x_lo + (x_hi - x_lo) * frac
+
+
+def resize_bilinear_tf1(x, out_h, out_w):
+    """NHWC bilinear resize with TF1 align_corners=False legacy semantics."""
+    x = _tf1_resize_axis(x, out_h, axis=1)
+    x = _tf1_resize_axis(x, out_w, axis=2)
+    return x
+
+
+def instance_norm(x, eps=1e-6):
+    """Per-sample per-channel normalisation over H,W without scale/offset,
+    matching tf.contrib.layers.instance_norm(scale=False, center=False)
+    (models.py:522-527). NHWC input."""
+    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
+    var = jnp.var(x, axis=(1, 2), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)

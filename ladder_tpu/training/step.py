@@ -1,0 +1,199 @@
+"""The fused train step: every per-batch optimiser update in ONE jitted call.
+
+The reference drives 3-4 chained sess.run calls per batch (ae update, sigma
+update, prior update, inner-sigma update — /root/reference/codes/base.py:
+583-641), each a separate graph execution with its own fresh z/t samples and
+a host round-trip. Here the same sequential semantics — group k+1 sees the
+parameters group k just wrote, and every sub-step draws fresh samples — run
+inside a single XLA program: one dispatch, zero host synchronisation, all
+intermediate state in HBM.
+
+Group ordering and gating replicate base.py + trainers.py:
+  1. ae     : d(loss_ae)/d(encoder,decoder)   [TRAIN_VAE]
+  2. sigma  : d(loss_ae)/d(sigma)             [TRAIN_sigma]
+  3. prior  : d(loss_prior)/d(prior)          [TRAIN_prior, after sg phase]
+  4. inner  : d(loss_prior)/d(inner_sigma)    [TRAIN_inner_sigma]
+  5. z_std  : d(decoded_z_std_loss)/d(prior)  [TRAIN_decoded_z_std]
+with elementwise +-1 gradient clipping then TF1-style Adam per group.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ladder_tpu.models.builder import PRIORS_WITH_INNER_VAE, PRIORS_WITH_PRIOR_MODEL
+from ladder_tpu.training.losses import compute_loss
+from ladder_tpu.training.optim import adam_init, adam_update, clip_grads
+
+# metrics small enough to return from every train step
+_SCALAR_KEYS = (
+    "loss_ae", "elbo", "l1_reconstruction_error", "l2_reconstruction_error",
+    "entropy_z", "crossEntropy_prior", "sigma_regularisor", "sigma",
+    "mean_pixel_error", "reconstruction_likelihood", "crossEntropy_prior_sg",
+    "elbo_prior", "loss_prior", "code_l1_reconstruction_error",
+    "code_reconstruction_likelihood", "entropy_t",
+    "crossEntropy_representation", "inner_sigma", "mean_code_error",
+    "std_dev_code", "std_dev_representation", "decoded_z_std_loss",
+)
+
+
+def _small(metrics):
+    return {k: metrics[k] for k in _SCALAR_KEYS if k in metrics}
+
+
+def _subset(params, keys):
+    return {k: params[k] for k in keys if k in params}
+
+
+def group_keys(config):
+    """Optimiser-group -> top-level param keys (base.py:415-455)."""
+    groups = {"ae": ("encoder", "decoder"), "sigma": ("sigma",)}
+    if config["prior"] in PRIORS_WITH_PRIOR_MODEL:
+        groups["prior"] = ("prior",)
+    if (config["prior"] in PRIORS_WITH_INNER_VAE
+            and config["TRAIN_inner_sigma"] == 1):
+        groups["inner_sigma"] = ("inner_sigma",)
+    if (config["prior"] in PRIORS_WITH_INNER_VAE
+            and config["TRAIN_decoded_z_std"] == 1):
+        groups["z_std"] = ("prior",)
+    return groups
+
+
+def init_state(model, rng):
+    """Initial TrainState pytree: grouped params + per-group Adam state."""
+    params = model.init(rng)
+    groups = group_keys(model.config)
+    opt = {name: adam_init(_subset(params, keys))
+           for name, keys in groups.items()}
+    return dict(params=params, opt=opt, step=jnp.zeros((), dtype=jnp.int32))
+
+
+def _grad_step(model, params, opt_state, keys, batch, rng, gm, flags, lr,
+               loss_selector):
+    """Differentiate the selected scalar wrt the param subset and apply one
+    clipped Adam update. Returns (params, opt_state, metrics)."""
+
+    def loss_fn(group):
+        p = {**params, **group}
+        loss_ae, metrics = compute_loss(model, p, batch, rng, gm, flags)
+        return loss_selector(loss_ae, metrics), metrics
+
+    group = _subset(params, keys)
+    (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(group)
+    grads = clip_grads(grads)
+    new_group, new_opt = adam_update(grads, opt_state, group, lr)
+    return {**params, **new_group}, new_opt, metrics
+
+
+def make_train_step(model, jit=True):
+    """Build train_step(state, batch, rng, gm, flags, lrs, do_prior).
+
+    do_prior is static (flips once per run at the sg_pretraining boundary,
+    trainers.py:39); gm/flags/lrs are traced so epoch-varying values never
+    recompile.
+    """
+    cfg = model.config
+
+    def train_step(state, batch, rng, gm, flags, lrs, do_prior):
+        params = state["params"]
+        opt = dict(state["opt"])
+        rngs = jax.random.split(rng, 5)
+        out = {}
+
+        if cfg["TRAIN_VAE"] == 1:
+            params, opt["ae"], m = _grad_step(
+                model, params, opt["ae"], ("encoder", "decoder"), batch,
+                rngs[0], gm, flags, lrs["ae"], lambda L, _: L)
+            out["ae"] = _small(m)
+
+        if cfg["TRAIN_sigma"] == 1:
+            params, opt["sigma"], m = _grad_step(
+                model, params, opt["sigma"], ("sigma",), batch,
+                rngs[1], gm, flags, lrs["sigma"], lambda L, _: L)
+            out["sigma"] = {"sigma": m["sigma"]}
+
+        if (do_prior and cfg["prior"] in PRIORS_WITH_PRIOR_MODEL
+                and cfg["TRAIN_prior"] == 1):
+            params, opt["prior"], m = _grad_step(
+                model, params, opt["prior"], ("prior",), batch,
+                rngs[2], gm, flags, lrs["prior"],
+                lambda L, met: met["loss_prior"])
+            out["prior"] = _small(m)
+
+            if (cfg["prior"] in PRIORS_WITH_INNER_VAE
+                    and cfg["TRAIN_inner_sigma"] == 1):
+                params, opt["inner_sigma"], m = _grad_step(
+                    model, params, opt["inner_sigma"], ("inner_sigma",), batch,
+                    rngs[3], gm, flags, lrs["inner_sigma"],
+                    lambda L, met: met["loss_prior"])
+
+            if (cfg["prior"] in PRIORS_WITH_INNER_VAE
+                    and cfg["TRAIN_decoded_z_std"] == 1):
+                params, opt["z_std"], m = _grad_step(
+                    model, params, opt["z_std"], ("prior",), batch,
+                    rngs[4], gm, flags, lrs["prior"],
+                    lambda L, met: met["decoded_z_std_loss"])
+
+        new_state = dict(params=params, opt=opt, step=state["step"] + 1)
+        return new_state, out
+
+    if jit:
+        return jax.jit(train_step, static_argnames=("do_prior",),
+                       donate_argnums=(0,))
+    return train_step
+
+
+def make_eval_step(model, jit=True):
+    """Loss/metric evaluation without updates (val_step / test_step,
+    base.py:643-679, 944-986). Returns the small-metric dict."""
+
+    def eval_step(params, batch, rng, gm, flags):
+        _, metrics = compute_loss(model, params, batch, rng, gm, flags)
+        return _small(metrics)
+
+    return jax.jit(eval_step) if jit else eval_step
+
+
+def make_forward_fns(model):
+    """Jitted pure inference helpers used by trainers/demos."""
+
+    @jax.jit
+    def encode(params, x):
+        return model.encode(params, x)
+
+    @jax.jit
+    def decode(params, z):
+        return model.decode(params, z)
+
+    @jax.jit
+    def encode_sample(params, x, rng):
+        from ladder_tpu.ops.distributions import sample_diag_gaussian
+        mean, std = model.encode(params, x)
+        return sample_diag_gaussian(rng, mean, std)
+
+    fns = dict(encode=encode, decode=decode, encode_sample=encode_sample)
+
+    if model.inner_encoder is not None:
+        @jax.jit
+        def inner_encode(params, z):
+            return model.inner_encode(params, z)
+
+        @jax.jit
+        def inner_decode(params, t):
+            return model.inner_decode(params, t)[0]
+
+        @jax.jit
+        def representation_sample(params, x, rng):
+            from ladder_tpu.ops.distributions import sample_diag_gaussian
+            r1, r2 = jax.random.split(rng)
+            mean, std = model.encode(params, x)
+            z = sample_diag_gaussian(r1, mean, std)
+            t_mean, t_std = model.inner_encode(params, z)
+            return sample_diag_gaussian(r2, t_mean, t_std)
+
+        fns.update(inner_encode=inner_encode, inner_decode=inner_decode,
+                   representation_sample=representation_sample)
+    return fns

@@ -1,0 +1,138 @@
+"""Config system: JSON -> dict, derived experiment directories, config snapshot.
+
+Behaviour parity with the reference config layer
+(/root/reference/codes/utils.py:11-124): same JSON schema (37 keys), same
+derived directory scheme
+    ./experiments/{exp_name}/batch-{batch_size}/prior-{...}/{summary,result,checkpoint}/
+and the same `load_dir != "default"` branch that redirects checkpoints to a
+pretrained-model directory and results to ./figures/{exp_name}/result/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from datetime import datetime
+
+
+def get_config_from_json(json_file):
+    """Load a config dict from a JSON file."""
+    with open(json_file, "r") as f:
+        return json.load(f)
+
+
+# Keys that older reference configs may omit; defaults keep the full flag
+# surface well-defined so downstream code never needs .get() chains.
+_DEFAULTS = {
+    "GM_fit_restart": 1,
+    "n_MC_samples": 100,
+    "use_mask_start": 10**9,
+    "sg_pretraining": 0,
+    "num_iter_to_plot": 2,
+    "accurate_fit": 10,
+    "TRAIN_decoded_z_std": 0,
+    "TRAIN_inner_sigma": 0,
+    "TRAIN_sigma": 1,
+    "TRAIN_prior": 0,
+    "TRAIN_VAE": 1,
+    "max_to_keep": 1,
+    "latent_variance_precision": 1e-3,
+    "inner_sigma": 0.1,
+    "inner_sigma_ub": 0.1,
+    "inner_sigma_lb": 0.05,
+    "learning_rate_sigma": 0.0005,
+    "learning_rate_prior": 0.0003,
+    "learning_rate_inner_sigma": 0.0002,
+    "n_layers_inner_VAE": 5,
+    "num_hidden_units_inner_VAE": 512,
+    "inner_activation": "leaky_relu",
+    "representation_size": 2,
+    "n_mixtures": 50,
+    "kernel_size": 3,
+    "seed": 0,
+    # TPU-native extensions (absent from reference configs; safe defaults).
+    "mesh_shape": None,          # e.g. [8] for 8-way data parallelism
+    "data_axis": "data",
+    "dtype": "float32",          # compute dtype for conv/dense stacks
+    "fused_train_step": 1,       # 1: one jitted step for all optimiser groups
+    "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
+    "data_dir": None,            # local dataset directory (offline environments)
+    "synthetic_data": 0,         # 1: deterministic synthetic dataset (tests/bench)
+}
+
+
+def apply_defaults(config):
+    for k, v in _DEFAULTS.items():
+        config.setdefault(k, v)
+    return config
+
+
+def process_config(json_file):
+    """Load the JSON config and derive summary/result/checkpoint directories.
+
+    Mirrors reference utils.py:40-77 including the exact save-dir naming
+    scheme so experiment trees are interchangeable with the reference.
+    """
+    config = get_config_from_json(json_file)
+    apply_defaults(config)
+    print("The current config is:\n{}\n".format(config))
+
+    save_name = "prior-{}-{}-{}-{}-{}-{}-mixture-{}".format(
+        config["prior"],
+        config["num_hidden_units"],
+        config["code_size"],
+        config["representation_size"],
+        config["inner_activation"],
+        config["n_layers_inner_VAE"],
+        config["n_mixtures"],
+    )
+
+    if config["load_dir"] == "default":
+        save_dir = "./experiments/{}/batch-{}".format(
+            config["exp_name"], config["batch_size"]
+        )
+        config["summary_dir"] = os.path.join(save_dir, save_name, "summary/")
+        config["result_dir"] = os.path.join(save_dir, save_name, "result/")
+        config["checkpoint_dir"] = os.path.join(save_dir, save_name, "checkpoint/")
+    else:
+        save_dir = config["load_dir"]
+        config["summary_dir"] = "./figures/{}/summary/".format(config["exp_name"])
+        config["result_dir"] = "./figures/{}/result/".format(config["exp_name"])
+        config["checkpoint_dir"] = os.path.join(save_dir, config["exp_name"])
+    print("Models will be saved / loaded at:\n{}".format(config["checkpoint_dir"]))
+    print("Results will be saved at:\n{}\n".format(config["result_dir"]))
+    return config
+
+
+def save_config(config):
+    """Snapshot the config into checkpoint_dir as a timestamped txt file
+    (reference utils.py:24-37)."""
+    stamp = datetime.now().strftime("%d-%b-%Y-%H-%M")
+    filename = os.path.join(
+        config["checkpoint_dir"], "training_config_{}.txt".format(stamp)
+    )
+    with open(filename, "w") as f:
+        f.write(json.dumps(config))
+    print("The current config is saved at {}".format(filename))
+    return filename
+
+
+def create_dirs(dirs):
+    """Create each directory if missing (reference utils.py:80-93)."""
+    try:
+        for d in dirs:
+            if not os.path.exists(d):
+                os.makedirs(d)
+        return 0
+    except Exception as err:  # pragma: no cover - same fatal path as reference
+        print("Creating directories error: {0}".format(err))
+        raise SystemExit(-1)
+
+
+def get_args(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument(
+        "-c", "--config", metavar="C", default="None", help="The Configuration file"
+    )
+    return parser.parse_args(argv)

@@ -1,0 +1,63 @@
+"""SPMD data parallelism over a jax.sharding.Mesh.
+
+The reference is single-process, single-device (train.py:2-3, SURVEY.md §2
+component 31). The TPU-native scaling story is GSPMD: a 1-D device mesh
+('data',), parameters and optimiser state replicated, the batch sharded on
+its leading axis. The fused train step is an ordinary jitted global-batch
+function — XLA partitions it and inserts the gradient all-reduce (psum over
+ICI) automatically from the input shardings; no NCCL/MPI analogue, no
+per-device code.
+
+Batch-statistic subtleties (SURVEY.md §7 hard parts): all loss reductions —
+including the sigma floor's mean-pixel-error — are written as global means,
+so under sharding XLA emits the cross-replica reduction and the floor sees
+the global batch error (the TF1 reference, being single-device, is the
+degenerate case). The CelebA encoder's BatchNorm uses per-shard statistics
+by default, matching the reference's per-device semantics; cross-replica BN
+is available via CelebAEncoder(bn_axis_name=...).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(config=None, devices=None, axis_name="data"):
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    if config is not None and config.get("mesh_shape"):
+        n = int(np.prod(config["mesh_shape"]))
+        devices = devices[:n]
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def replicate(tree, mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_state(state, mesh):
+    """Train state is replicated: params and Adam moments are identical on
+    every device; XLA keeps them in sync because the psum'd gradients are."""
+    return replicate(state, mesh)
+
+
+def shard_batch(batch, mesh, axis_name="data"):
+    """Shard the batch's leading axis across the mesh."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
+
+
+def pad_to_multiple(batch, multiple):
+    """Pad the leading axis up to a device-count multiple (repeat-edge), and
+    return (padded, real_count) so callers can unweight if needed."""
+    n = batch.shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = multiple - rem
+    reps = batch[:pad]
+    return np.concatenate([batch, reps], axis=0), n

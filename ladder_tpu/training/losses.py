@@ -57,6 +57,11 @@ def compute_loss(model, params, x, rng, gm=None, flags=None):
     """
     cfg = model.config
     prior = cfg["prior"]
+    # uint8 batches are normalised on device (the reference's /255 happens on
+    # the host pipeline, models.py:369-371; doing it here keeps host->HBM
+    # traffic at 1 byte/pixel and fuses the scale into the first conv).
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) * (1.0 / 255.0)
     flags = flags or {}
     use_sg = jnp.asarray(flags.get("use_sg_prior", False))
     use_mask = jnp.asarray(flags.get("use_mask", False))

@@ -1,0 +1,116 @@
+"""Checkpoint / resume with the reference's two-saver granularity plus a
+full-train-state extension.
+
+The reference saves two tf.train.Savers — 'vae-model' (encoder+decoder+sigma)
+and 'prior-model' (prior+inner_sigma) — every epoch, restores at startup, and
+silently continues when a checkpoint is absent (/root/reference/codes/base.py
+:37-85, 853-857). It does NOT checkpoint Adam slots or the sklearn GMM, so a
+restart loses optimiser state (SURVEY.md §5). We keep the same two-file
+public layout (so vae/prior can be loaded independently) and additionally
+write 'train-state' with optimiser moments, the fitted GM, the epoch counter
+and the RNG key, giving exact crash-resume.
+
+Format: flax msgpack serialization — single-file, byte-deterministic, no
+directory protocol needed for these model sizes (<100 MB).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+VAE_KEYS = ("encoder", "decoder", "sigma")
+PRIOR_KEYS = ("prior", "inner_sigma")
+
+
+def _to_host(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_msgpack(path, tree):
+    data = serialization.msgpack_serialize(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_msgpack(path):
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+class CheckpointManager:
+    def __init__(self, config):
+        self.config = config
+        ckdir = config["checkpoint_dir"]
+        self.path_vae = os.path.join(ckdir, "vae-model.msgpack")
+        self.path_prior = os.path.join(ckdir, "prior-model.msgpack")
+        self.path_state = os.path.join(ckdir, "train-state.msgpack")
+
+    # -- reference-parity two-group save/load (base.py:51-85) ----------
+    def save(self, state, model="joint"):
+        print("Saving model...")
+        params = state["params"]
+        cfg = self.config
+        has_prior = cfg["prior"] in ("ours", "hierarchical", "vampPrior")
+        if model in ("VAE", "joint") and (model == "VAE"
+                                          or cfg["TRAIN_VAE"] == 1):
+            save_msgpack(self.path_vae,
+                         {k: params[k] for k in VAE_KEYS if k in params})
+            print("Outer VAE model saved.")
+        if has_prior and (model == "prior"
+                          or (model == "joint" and cfg["TRAIN_prior"] == 1)):
+            save_msgpack(self.path_prior,
+                         {k: params[k] for k in PRIOR_KEYS if k in params})
+            print("Prior model saved.")
+
+    def load(self, state, model):
+        """Merge saved params into state; soft-fail like base.py:68-85."""
+        print("\ncheckpoint_dir to be loaded:\n{}\n".format(
+            self.config["checkpoint_dir"]))
+        path = self.path_vae if model == "VAE" else self.path_prior
+        if not os.path.isfile(path):
+            print(f"No {'outer VAE' if model == 'VAE' else 'prior'} model "
+                  f"found. No {model} model loaded.")
+            return state
+        saved = load_msgpack(path)
+        params = dict(state["params"])
+        for k, v in saved.items():
+            if k in params:
+                params[k] = serialization.from_state_dict(params[k], v)
+        print(f"{'Outer VAE' if model == 'VAE' else 'Prior'} model loaded.")
+        return {**state, "params": params}
+
+    # -- full-state extension ------------------------------------------
+    def save_full(self, state, extra=None):
+        """extra: dict of host-side state (gm params, epoch, rng key...)."""
+        payload = {"state": state, "extra": extra or {}}
+        save_msgpack(self.path_state, payload)
+
+    def load_full(self, state_template):
+        if not os.path.isfile(self.path_state):
+            return None
+        raw = load_msgpack(self.path_state)
+        state = serialization.from_state_dict(
+            state_template, raw["state"])
+        return state, raw.get("extra", {})
+
+
+def save_gm_prior_info(result_dir, weights, means, covs, active_threshold=1e-2):
+    """Persist the accurate GM fit as GM_prior_info.npz with both active-only
+    (renormalised) and full parameter sets (base.py:768-777)."""
+    w = np.asarray(weights)
+    m = np.asarray(means)
+    K = np.asarray(covs)
+    idx = np.where(w >= active_threshold)[0]
+    w_active = w[idx]
+    w_active = w_active / w_active.sum() if w_active.size else w_active
+    filename = os.path.join(result_dir, "GM_prior_info.npz")
+    np.savez(filename, w_active=w_active, m_active=m[idx], K_active=K[idx],
+             w_full=w, m_full=m, K_full=K)
+    return filename

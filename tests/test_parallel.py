@@ -1,0 +1,97 @@
+"""Data-parallel correctness on the 8-device virtual CPU mesh (SURVEY.md §4):
+sharded-batch loss/grads match single-device, and the full train step runs
+under sharding with identical results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ladder_tpu.models.builder import make_model
+from ladder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from ladder_tpu.training.losses import compute_loss, identity_gm
+from ladder_tpu.training.step import init_state, make_train_step
+from tests.conftest import make_config
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    return make_mesh()
+
+
+def test_sharded_loss_matches_single_device(mesh):
+    cfg = make_config(prior="standard_gaussian", batch_size=16)
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = np.random.default_rng(0).uniform(
+        0, 1, (16, 28, 28, 1)).astype(np.float32)
+    rng = jax.random.PRNGKey(7)
+
+    def loss_fn(p, x):
+        return compute_loss(model, p, x, rng)[0]
+
+    jitted = jax.jit(loss_fn)
+    single = float(jitted(params, jnp.asarray(batch)))
+
+    p_repl = replicate(params, mesh)
+    x_shard = shard_batch(batch, mesh)
+    sharded = float(jitted(p_repl, x_shard))
+    np.testing.assert_allclose(sharded, single, rtol=1e-5)
+
+
+def test_sharded_grads_match_single_device(mesh):
+    cfg = make_config(prior="standard_gaussian", batch_size=16)
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    batch = np.random.default_rng(1).uniform(
+        0, 1, (16, 28, 28, 1)).astype(np.float32)
+    rng = jax.random.PRNGKey(3)
+
+    grad_fn = jax.jit(jax.grad(
+        lambda p, x: compute_loss(model, p, x, rng)[0]))
+    g_single = grad_fn(params, jnp.asarray(batch))
+    g_shard = grad_fn(replicate(params, mesh), shard_batch(batch, mesh))
+    for a, b in zip(jax.tree.leaves(g_single), jax.tree.leaves(g_shard)):
+        # float32 cross-shard reduction order shifts the big L1 sums slightly
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_sharded_train_step_matches_single(mesh):
+    """One fused train step under the mesh == single-device step (psum
+    correctness end-to-end through 2 optimiser groups)."""
+    cfg = make_config(prior="standard_gaussian", batch_size=16)
+    model = make_model(cfg)
+    rng0 = jax.random.PRNGKey(0)
+    state_a = init_state(model, rng0)
+    state_b = init_state(model, rng0)
+    step = make_train_step(model)
+    batch = np.random.default_rng(2).uniform(
+        0, 1, (16, 28, 28, 1)).astype(np.float32)
+    rng = jax.random.PRNGKey(5)
+    lrs = {k: jnp.asarray(3e-4) for k in
+           ["ae", "sigma", "prior", "inner_sigma"]}
+    flags = {"use_sg_prior": jnp.asarray(False),
+             "use_mask": jnp.asarray(False)}
+
+    new_a, out_a = step(state_a, jnp.asarray(batch), rng, None, flags, lrs,
+                        False)
+    new_b, out_b = step(replicate(state_b, mesh), shard_batch(batch, mesh),
+                        rng, None, flags, lrs, False)
+    np.testing.assert_allclose(float(out_a["ae"]["loss_ae"]),
+                               float(out_b["ae"]["loss_ae"]), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_a["params"]),
+                    jax.tree.leaves(new_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
+def test_batch_sharding_layout(mesh):
+    batch = np.zeros((16, 28, 28, 1), dtype=np.float32)
+    x = shard_batch(batch, mesh)
+    # 8 devices, 16 rows -> 2 rows per device
+    assert len(x.sharding.device_set) == 8
+    shard_shapes = {s.data.shape for s in x.addressable_shards}
+    assert shard_shapes == {(2, 28, 28, 1)}

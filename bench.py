@@ -1,0 +1,161 @@
+"""Benchmark harness: CelebA-128 training throughput (images/sec/chip).
+
+Runs the reference CelebA recipe shape (128x128x3, h=512, z=256, batch from
+config or --batch) through the fused 'ours' train step — every optimiser
+group, the inner VAE, and the GM cross-entropy MC estimate included — on the
+available TPU chip(s), with synthetic on-device data so the input pipeline
+does not gate the measurement (pipeline throughput is benchmarked separately
+by tests). Prints ONE JSON line with images/sec/chip vs the 5k target
+(BASELINE.json).
+
+Usage: python bench.py [--steps N] [--batch B] [--hidden H] [--full-pipeline]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--warmup", type=int, default=5)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--code", type=int, default=256)
+    ap.add_argument("--full-pipeline", action="store_true",
+                    help="stream batches from synthetic TFRecords with host "
+                         "prefetch instead of device-resident data")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16"])
+    ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
+                    help="1: reference-sequential fused step, "
+                         "2: single-pass (one fwd+bwd for all groups)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import init_state, make_train_step
+    from ladder_tpu.utils.config import apply_defaults
+
+    n_chips = len(jax.devices())
+
+    cfg = apply_defaults({
+        "exp_name": "celeba",
+        "prior": "ours",
+        "load_dir": "default",
+        "num_epochs": 1,
+        "batch_size": args.batch,
+        "dim_input_x": 128, "dim_input_y": 128, "dim_input_channel": 3,
+        "code_size": args.code,
+        "representation_size": 2,
+        "num_hidden_units": args.hidden,
+        "num_hidden_units_inner_VAE": 512,
+        "n_layers_inner_VAE": 5,
+        "n_mixtures": 50,
+        "n_MC_samples": 100,
+        "sigma": 0.5,
+        "learning_rate_ae": 2.5e-4,
+        "TRAIN_VAE": 1, "TRAIN_sigma": 1, "TRAIN_prior": 1,
+        "TRAIN_inner_sigma": 1,
+        "sg_pretraining": 0,
+        "dtype": args.dtype,
+        "fused_train_step": args.fused,
+    })
+
+    model = make_model(cfg)
+    state = init_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model)
+    gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+    flags = {"use_sg_prior": jnp.asarray(False),
+             "use_mask": jnp.asarray(False)}
+    lrs = {k: jnp.asarray(2.5e-4, dtype=jnp.float32)
+           for k in ["ae", "sigma", "prior", "inner_sigma"]}
+
+    rng = jax.random.PRNGKey(1)
+    batch_host = np.random.default_rng(0).integers(
+        0, 256, (args.batch, 128, 128, 3)).astype(np.uint8)
+
+    if args.full_pipeline:
+        import tempfile
+
+        from ladder_tpu.data.celeba import CelebAData
+        with tempfile.TemporaryDirectory() as td:
+            cfg2 = dict(cfg, synthetic_data=1,
+                        synthetic_n_train=args.batch * (args.steps + args.warmup),
+                        synthetic_n_val=args.batch, synthetic_n_test=args.batch,
+                        data_path=td + "/")
+            data = CelebAData(cfg2)
+            batches = data.train.epoch(args.batch, seed=0)
+            run_steps(step, state, batches, rng, gm, flags, lrs, args,
+                      n_chips, streamed=True)
+            return
+
+    batch = jnp.asarray(batch_host)
+    # warmup (compile)
+    for i in range(args.warmup):
+        rng, r = jax.random.split(rng)
+        state, out = step(state, batch, r, gm, flags, lrs, True)
+    jax.block_until_ready(state)
+
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        rng, r = jax.random.split(rng)
+        state, out = step(state, batch, r, gm, flags, lrs, True)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+
+    images_per_sec = args.steps * args.batch / dt
+    per_chip = images_per_sec / n_chips
+    print(json.dumps({
+        "metric": "images/sec/chip (CelebA-128 train)",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 5000.0, 4),
+        "detail": {
+            "batch": args.batch, "hidden": args.hidden, "code": args.code,
+            "dtype": args.dtype, "fused": args.fused,
+            "steps": args.steps, "n_chips": n_chips,
+            "step_ms": round(1000 * dt / args.steps, 2),
+            "loss_ae": float(out["ae"]["loss_ae"]),
+        },
+    }))
+
+
+def run_steps(step, state, batches, rng, gm, flags, lrs, args, n_chips,
+              streamed=False):
+    import jax
+    import jax.numpy as jnp
+    import time as _t
+
+    n = 0
+    t0 = None
+    for i, b in enumerate(batches):
+        rng, r = jax.random.split(rng)
+        state, out = step(state, jnp.asarray(b), r, gm, flags, lrs, True)
+        if i == args.warmup - 1:
+            jax.block_until_ready(state)
+            t0 = _t.perf_counter()
+        elif i >= args.warmup:
+            n += 1
+    jax.block_until_ready(state)
+    dt = _t.perf_counter() - t0
+    per_chip = n * args.batch / dt / n_chips
+    print(json.dumps({
+        "metric": "images/sec/chip (CelebA-128 train, streamed)",
+        "value": round(per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(per_chip / 5000.0, 4),
+        "detail": {"batch": args.batch, "steps": n, "n_chips": n_chips,
+                   "step_ms": round(1000 * dt / max(n, 1), 2)},
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,15 +47,23 @@ class LadderModel:
         h = cfg["num_hidden_units"]
         exp = cfg["exp_name"]
         lvp = cfg["latent_variance_precision"]
+        # compute dtype: 'bfloat16' runs the conv/dense stacks on the MXU at
+        # bf16 with fp32 params and fp32 loss math; 'float32' (default) is
+        # bit-faithful to the reference.
+        dt = {"float32": None, "bfloat16": jnp.bfloat16,
+              None: None}[cfg.get("dtype", "float32")]
+        self.dtype = dt
         if exp == "mnist_digit":
-            self.encoder = DigitEncoder(h, cfg["code_size"], cfg["kernel_size"], lvp)
-            self.decoder = DigitDecoder(h)
+            self.encoder = DigitEncoder(h, cfg["code_size"], cfg["kernel_size"],
+                                        lvp, dtype=dt)
+            self.decoder = DigitDecoder(h, dtype=dt)
         elif exp == "mnist_fashion":
-            self.encoder = FashionEncoder(h, cfg["code_size"], lvp)
-            self.decoder = FashionDecoder(h)
+            self.encoder = FashionEncoder(h, cfg["code_size"], lvp, dtype=dt)
+            self.decoder = FashionDecoder(h, dtype=dt)
         elif exp == "celeba":
-            self.encoder = CelebAEncoder(h, cfg["code_size"], cfg["kernel_size"], lvp)
-            self.decoder = CelebADecoder(h)
+            self.encoder = CelebAEncoder(h, cfg["code_size"], cfg["kernel_size"],
+                                         lvp, dtype=dt)
+            self.decoder = CelebADecoder(h, dtype=dt)
         else:
             raise ValueError(f"unknown exp_name: {exp}")
 
@@ -66,6 +74,7 @@ class LadderModel:
                 cfg["n_layers_inner_VAE"],
                 cfg["inner_activation"],
                 lvp,
+                dtype=dt,
             )
             self.inner_decoder = InnerDecoder(
                 cfg["num_hidden_units_inner_VAE"],
@@ -73,6 +82,7 @@ class LadderModel:
                 cfg["n_layers_inner_VAE"],
                 cfg["inner_activation"],
                 bool(cfg["TRAIN_decoded_z_std"]),
+                dtype=dt,
             )
         elif cfg["prior"] == "vampPrior":
             self.vamp = VampPseudoInputs(

@@ -15,6 +15,9 @@ callers clip for visualisation exactly as the reference does in numpy.
 
 from __future__ import annotations
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ladder_tpu.models.layers import (
@@ -35,20 +38,23 @@ class CelebAEncoder(nn.Module):
     kernel_size: int = 3
     latent_variance_precision: float = 1e-3
     bn_axis_name: str | None = None  # cross-replica BN if set
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = self.num_hidden_units
+        h, dt = self.num_hidden_units, self.dtype
         k = self.kernel_size
+        if dt is not None:
+            x = x.astype(dt)
         widths = [h // 4, h // 4, h // 2, h // 2, h]
         for w in widths:                                   # 128->64->32->16->8->4
-            x = Conv(w, k, strides=2)(x)
+            x = Conv(w, k, strides=2, dtype=dt)(x)
             x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
             x = leaky_relu(x)
-        x = Conv(h, k, padding="VALID")(x)                 # 4x4 -> 2x2 (k=3)
+        x = Conv(h, k, padding="VALID", dtype=dt)(x)       # 4x4 -> 2x2 (k=3)
         x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
         x = leaky_relu(x)
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         mean = Dense(self.code_size, name="code_mean")(x)
         std = nn.relu(Dense(self.code_size, name="code_std_dev")(x))
         return mean, std + self.latent_variance_precision
@@ -58,41 +64,44 @@ class CelebADecoder(nn.Module):
     """models.py:499-587. [B, code_size] -> [B,128,128,3] (unclipped)."""
 
     num_hidden_units: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z):
-        h = self.num_hidden_units
-        encoded = leaky_relu(Dense(h)(z))
+        h, dt = self.num_hidden_units, self.dtype
+        if dt is not None:
+            z = z.astype(dt)
+        encoded = leaky_relu(Dense(h, dtype=dt)(z))
 
         # 8-layer dlatent mapping network (models.py:505-510)
         dlatent = encoded
         for i in range(8):
-            dlatent = leaky_relu(Dense(h, name=f"dlatent_{i}")(dlatent))
+            dlatent = leaky_relu(Dense(h, name=f"dlatent_{i}", dtype=dt)(dlatent))
 
         # decoded_1: 1x1 conv on the reshaped code, resize to 2x2
         x = encoded.reshape(-1, 1, 1, h)
-        x = Conv(h, 1)(x)
+        x = Conv(h, 1, dtype=dt)(x)
         x = resize_bilinear_tf1(x, 2, 2)
         # decoded_2: 2x2, instance_norm + style mod 0
-        x = instance_norm(Conv(h, 3)(x))
-        x = leaky_relu(StyleMod(name="style_mod_0")(x, dlatent))
+        x = instance_norm(Conv(h, 3, dtype=dt)(x))
+        x = leaky_relu(StyleMod(name="style_mod_0", dtype=dt)(x, dlatent))
         # decoded_3: -> 8 -> conv -> 16
-        x = instance_norm(Conv(h, 3)(x))
-        x = leaky_relu(StyleMod(name="style_mod_1")(x, dlatent))
+        x = instance_norm(Conv(h, 3, dtype=dt)(x))
+        x = leaky_relu(StyleMod(name="style_mod_1", dtype=dt)(x, dlatent))
         x = resize_bilinear_tf1(x, 8, 8)
-        x = leaky_relu(Conv(h, 3)(x))
+        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = resize_bilinear_tf1(x, 16, 16)
         # decoded_4: -> 32 -> conv -> 64
-        x = instance_norm(Conv(h // 2, 3)(x))
-        x = leaky_relu(StyleMod(name="style_mod_2")(x, dlatent))
+        x = instance_norm(Conv(h // 2, 3, dtype=dt)(x))
+        x = leaky_relu(StyleMod(name="style_mod_2", dtype=dt)(x, dlatent))
         x = resize_bilinear_tf1(x, 32, 32)
-        x = leaky_relu(Conv(h // 2, 3)(x))
+        x = leaky_relu(Conv(h // 2, 3, dtype=dt)(x))
         x = resize_bilinear_tf1(x, 64, 64)
         # decoded_5: -> 128 -> conv
-        x = instance_norm(Conv(h // 4, 3)(x))
-        x = leaky_relu(StyleMod(name="style_mod_3")(x, dlatent))
+        x = instance_norm(Conv(h // 4, 3, dtype=dt)(x))
+        x = leaky_relu(StyleMod(name="style_mod_3", dtype=dt)(x, dlatent))
         x = resize_bilinear_tf1(x, 128, 128)
-        x = leaky_relu(Conv(h // 4, 3)(x))
-        # decoded_6: 1x1 conv to 3 channels, linear
-        x = Conv(3, 1)(x)
-        return x
+        x = leaky_relu(Conv(h // 4, 3, dtype=dt)(x))
+        # decoded_6: 1x1 conv to 3 channels, linear (fp32 output)
+        x = Conv(3, 1, dtype=dt)(x)
+        return x.astype(jnp.float32)

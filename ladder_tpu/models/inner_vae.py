@@ -10,6 +10,9 @@ parameterisation (base.py:158-162).
 
 from __future__ import annotations
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ladder_tpu.models.layers import Dense, get_activation
@@ -23,13 +26,16 @@ class InnerEncoder(nn.Module):
     n_layers: int = 5
     activation: str = "leaky_relu"
     latent_variance_precision: float = 1e-3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z):
         act = get_activation(self.activation)
-        x = z
+        x = z if self.dtype is None else z.astype(self.dtype)
         for i in range(self.n_layers):
-            x = act(Dense(self.num_hidden_units, name=f"enc_{i}")(x))
+            x = act(Dense(self.num_hidden_units, name=f"enc_{i}",
+                          dtype=self.dtype)(x))
+        x = x.astype(jnp.float32)
         mean = Dense(self.representation_size, name="representation_mean")(x)
         std = nn.relu(Dense(self.representation_size,
                             name="representation_std_dev")(x))
@@ -45,19 +51,24 @@ class InnerDecoder(nn.Module):
     n_layers: int = 5
     activation: str = "leaky_relu"
     train_decoded_z_std: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, t):
         act = get_activation(self.activation)
-        x = t
+        x = t if self.dtype is None else t.astype(self.dtype)
         for i in range(self.n_layers):
-            x = act(Dense(self.num_hidden_units, name=f"dec_{i}")(x))
-        decoded_code = Dense(self.code_size, name="decoded_code")(x)
+            x = act(Dense(self.num_hidden_units, name=f"dec_{i}",
+                          dtype=self.dtype)(x))
+        decoded_code = Dense(self.code_size, name="decoded_code")(
+            x.astype(jnp.float32))
         if self.train_decoded_z_std:
-            s = t
+            s = t if self.dtype is None else t.astype(self.dtype)
             for i in range(self.n_layers):
-                s = act(Dense(self.num_hidden_units, name=f"dec_std_{i}")(s))
-            decoded_code_std = Dense(self.code_size, name="decoded_code_std")(s)
+                s = act(Dense(self.num_hidden_units, name=f"dec_std_{i}",
+                              dtype=self.dtype)(s))
+            decoded_code_std = Dense(self.code_size, name="decoded_code_std")(
+                s.astype(jnp.float32))
             return decoded_code, decoded_code_std
         return decoded_code, None
 

@@ -10,7 +10,7 @@ statistics — is_training is a constant True, models.py:471).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -35,11 +35,15 @@ def get_activation(name) -> Callable:
 xavier = nn.initializers.glorot_uniform()
 
 
-def Dense(features, name=None):
-    return nn.Dense(features, kernel_init=xavier, name=name)
+def Dense(features, name=None, dtype=None):
+    """dtype: computation dtype (e.g. jnp.bfloat16 for MXU throughput);
+    params always stored float32."""
+    return nn.Dense(features, kernel_init=xavier, name=name, dtype=dtype,
+                    param_dtype=jnp.float32)
 
 
-def Conv(features, kernel_size, strides=1, padding="SAME", name=None):
+def Conv(features, kernel_size, strides=1, padding="SAME", name=None,
+         dtype=None):
     return nn.Conv(
         features,
         kernel_size=(kernel_size, kernel_size),
@@ -47,6 +51,8 @@ def Conv(features, kernel_size, strides=1, padding="SAME", name=None):
         padding=padding,
         kernel_init=xavier,
         name=name,
+        dtype=dtype,
+        param_dtype=jnp.float32,
     )
 
 
@@ -54,11 +60,13 @@ class StyleMod(nn.Module):
     """x * (scale+1) + shift where (scale, shift) = Dense(dlatent, 2C)
     (modules.py:6-10). x: [B,H,W,C], dlatent: [B,D]."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, dlatent):
         c = x.shape[-1]
-        style = Dense(2 * c, name="style")(dlatent)
-        style = style.reshape(-1, 2, 1, 1, c)
+        style = Dense(2 * c, name="style", dtype=self.dtype)(dlatent)
+        style = style.reshape(-1, 2, 1, 1, c).astype(x.dtype)
         return x * (style[:, 0] + 1.0) + style[:, 1]
 
 
@@ -79,16 +87,19 @@ class BatchNormTrain(nn.Module):
     @nn.compact
     def __call__(self, x):
         c = x.shape[-1]
+        in_dtype = x.dtype
         gamma = self.param("gamma", nn.initializers.ones, (c,))
         beta = self.param("beta", nn.initializers.zeros, (c,))
+        xf = x.astype(jnp.float32)  # statistics in fp32 for stability
         reduce_axes = tuple(range(x.ndim - 1))
         if self.axis_name is not None:
             import jax
-            mean = jax.lax.pmean(jnp.mean(x, axis=reduce_axes), self.axis_name)
-            mean2 = jax.lax.pmean(jnp.mean(x * x, axis=reduce_axes), self.axis_name)
+            mean = jax.lax.pmean(jnp.mean(xf, axis=reduce_axes), self.axis_name)
+            mean2 = jax.lax.pmean(jnp.mean(xf * xf, axis=reduce_axes),
+                                  self.axis_name)
             var = mean2 - mean * mean
         else:
-            mean = jnp.mean(x, axis=reduce_axes)
-            var = jnp.var(x, axis=reduce_axes)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.var(xf, axis=reduce_axes)
         inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return (x - mean) * inv * gamma + beta
+        return (((xf - mean) * inv) * gamma + beta).astype(in_dtype)

@@ -14,6 +14,9 @@ the posterior scale; parity depends on it.
 
 from __future__ import annotations
 
+from typing import Any
+
+import jax.numpy as jnp
 from flax import linen as nn
 
 from ladder_tpu.models.layers import Conv, Dense, leaky_relu
@@ -27,16 +30,18 @@ class DigitEncoder(nn.Module):
     code_size: int
     kernel_size: int = 3
     latent_variance_precision: float = 1e-3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = self.num_hidden_units
+        h, dt = self.num_hidden_units, self.dtype
         x = pad_symmetric(x, 2, 2)                                  # 32x32
-        x = leaky_relu(Conv(h // 16, self.kernel_size, strides=2)(x))   # 16x16
-        x = leaky_relu(Conv(h // 4, self.kernel_size, strides=2)(x))    # 8x8
-        x = leaky_relu(Conv(h, self.kernel_size, strides=2)(x))         # 4x4
+        x = leaky_relu(Conv(h // 16, self.kernel_size, strides=2, dtype=dt)(x))  # 16x16
+        x = leaky_relu(Conv(h // 4, self.kernel_size, strides=2, dtype=dt)(x))   # 8x8
+        x = leaky_relu(Conv(h, self.kernel_size, strides=2, dtype=dt)(x))        # 4x4
         x = x.reshape(x.shape[0], -1)
-        x = leaky_relu(Dense(h // 4)(x))
+        x = leaky_relu(Dense(h // 4, dtype=dt)(x))
+        x = x.astype(jnp.float32)  # heads in fp32: posterior scales feed logs
         mean = Dense(self.code_size, name="code_mean")(x)
         std = nn.relu(Dense(self.code_size, name="code_std_dev")(x))
         return mean, std + self.latent_variance_precision
@@ -46,21 +51,22 @@ class DigitDecoder(nn.Module):
     """models.py:106-148. [B, code_size] -> [B,28,28,1] (relu output)."""
 
     num_hidden_units: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z):
-        h = self.num_hidden_units
-        x = leaky_relu(Dense(4 * 4 * h)(z))
+        h, dt = self.num_hidden_units, self.dtype
+        x = leaky_relu(Dense(4 * 4 * h, dtype=dt)(z))
         x = x.reshape(-1, 1, 1, 4 * 4 * h)
         x = depth_to_space(x, 4)                                    # 4x4xh
-        x = leaky_relu(Conv(h, 3)(x))
+        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 8x8xh/4
-        x = leaky_relu(Conv(h // 4, 3)(x))
+        x = leaky_relu(Conv(h // 4, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 16x16xh/16
-        x = leaky_relu(Conv(h // 16, 3)(x))
+        x = leaky_relu(Conv(h // 16, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 32x32xh/64
         x = nn.relu(Conv(1, 5, padding="VALID")(x))                 # 28x28x1
-        return x
+        return x.astype(jnp.float32)
 
 
 class FashionEncoder(nn.Module):
@@ -69,17 +75,19 @@ class FashionEncoder(nn.Module):
     num_hidden_units: int
     code_size: int
     latent_variance_precision: float = 1e-3
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        h = self.num_hidden_units
+        h, dt = self.num_hidden_units, self.dtype
         x = pad_symmetric(x, 2, 2)                                  # 32x32
-        x = leaky_relu(Conv(h // 4, 3, strides=2)(x))               # 16x16
-        x = leaky_relu(Conv(h // 4, 3, strides=2)(x))               # 8x8
-        x = leaky_relu(Conv(h // 2, 3, strides=2)(x))               # 4x4
-        x = leaky_relu(Conv(h // 2, 3, padding="VALID")(x))         # 2x2
+        x = leaky_relu(Conv(h // 4, 3, strides=2, dtype=dt)(x))     # 16x16
+        x = leaky_relu(Conv(h // 4, 3, strides=2, dtype=dt)(x))     # 8x8
+        x = leaky_relu(Conv(h // 2, 3, strides=2, dtype=dt)(x))     # 4x4
+        x = leaky_relu(Conv(h // 2, 3, padding="VALID", dtype=dt)(x))  # 2x2
         x = x.reshape(x.shape[0], -1)
-        x = leaky_relu(Dense(h)(x))
+        x = leaky_relu(Dense(h, dtype=dt)(x))
+        x = x.astype(jnp.float32)
         mean = Dense(self.code_size, name="code_mean")(x)
         std = nn.relu(Dense(self.code_size, name="code_std_dev")(x))
         return mean, std + self.latent_variance_precision
@@ -89,20 +97,21 @@ class FashionDecoder(nn.Module):
     """models.py:264-315. d2s(2)+conv x5 pyramid then 5x5 valid conv."""
 
     num_hidden_units: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, z):
-        h = self.num_hidden_units
-        x = leaky_relu(Dense(h)(z))
+        h, dt = self.num_hidden_units, self.dtype
+        x = leaky_relu(Dense(h, dtype=dt)(z))
         x = x.reshape(-1, 1, 1, h)
         x = depth_to_space(x, 2)                                    # 2x2xh/4
-        x = leaky_relu(Conv(h, 1)(x))
+        x = leaky_relu(Conv(h, 1, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 4x4xh/4
-        x = leaky_relu(Conv(h, 3)(x))
+        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 8x8xh/4
-        x = leaky_relu(Conv(h, 3)(x))
+        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 16x16xh/4
-        x = leaky_relu(Conv(h, 3)(x))
+        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = depth_to_space(x, 2)                                    # 32x32xh/4
         x = nn.relu(Conv(1, 5, padding="VALID")(x))                 # 28x28x1
-        return x
+        return x.astype(jnp.float32)

@@ -43,23 +43,41 @@ def pad_symmetric(x, pad_h, pad_w):
                    mode="symmetric")
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _tf1_interp_matrix(in_size, out_size):
+    """[out_size, in_size] bilinear interpolation matrix with TF1 legacy
+    coordinates (align_corners=False, half_pixel_centers=False:
+    src = dst * in/out). Each row has at most two non-zeros."""
+    import numpy as np
+    scale = in_size / out_size
+    src = np.arange(out_size, dtype=np.float64) * scale
+    lo = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    hi = np.clip(lo + 1, 0, in_size - 1)
+    frac = src - lo
+    m = np.zeros((out_size, in_size), dtype=np.float32)
+    rows = np.arange(out_size)
+    m[rows, lo] += 1.0 - frac
+    m[rows, hi] += frac
+    return m
+
+
 def _tf1_resize_axis(x, out_size, axis):
-    """Bilinear resample one spatial axis with TF1 legacy coordinates."""
+    """Bilinear resample one spatial axis via a dense interpolation-matrix
+    contraction. On TPU this is a small matmul on the MXU (~0.1-0.3 ms for
+    the decoder's 64->128 stage at batch 64) where a gather formulation costs
+    ~7 ms and its backward lowers to a scatter. The matrix is tiny
+    ([out,in] <= [128,64]) and cached per shape."""
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    scale = in_size / out_size
-    src = jnp.arange(out_size, dtype=jnp.float32) * scale
-    lo = jnp.floor(src).astype(jnp.int32)
-    lo = jnp.clip(lo, 0, in_size - 1)
-    hi = jnp.clip(lo + 1, 0, in_size - 1)
-    frac = (src - lo.astype(jnp.float32)).astype(x.dtype)
-    x_lo = jnp.take(x, lo, axis=axis)
-    x_hi = jnp.take(x, hi, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    frac = frac.reshape(shape)
-    return x_lo + (x_hi - x_lo) * frac
+    m = jnp.asarray(_tf1_interp_matrix(in_size, out_size), dtype=x.dtype)
+    # contract x's `axis` with m's second dim; tensordot puts the new
+    # out_size dim last, move it back.
+    y = jnp.tensordot(x, m, axes=[[axis], [1]])
+    return jnp.moveaxis(y, -1, axis)
 
 
 def resize_bilinear_tf1(x, out_h, out_w):
@@ -72,7 +90,9 @@ def resize_bilinear_tf1(x, out_h, out_w):
 def instance_norm(x, eps=1e-6):
     """Per-sample per-channel normalisation over H,W without scale/offset,
     matching tf.contrib.layers.instance_norm(scale=False, center=False)
-    (models.py:522-527). NHWC input."""
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.var(x, axis=(1, 2), keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps)
+    (models.py:522-527). NHWC input. Statistics in fp32 even for bf16
+    activations."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.var(xf, axis=(1, 2), keepdims=True)
+    return ((xf - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)

@@ -94,8 +94,28 @@ def make_train_step(model, jit=True):
     do_prior is static (flips once per run at the sg_pretraining boundary,
     trainers.py:39); gm/flags/lrs are traced so epoch-varying values never
     recompile.
+
+    config['fused_train_step'] selects the update semantics:
+      1 (default): the reference's sequential sub-steps — group k+1 sees
+        group k's fresh parameters and every sub-step draws fresh samples —
+        fused into one XLA program (3-4 forward+backward passes).
+      2: single-pass — ONE forward+backward produces every group's gradient.
+        This is exact, not an approximation: for each group that trains on
+        loss_prior, grad(loss_ae, group) == grad(loss_prior, group), because
+        loss_ae = -elbo contains -elbo_prior as its cross-entropy term
+        (base.py:318-320, 399-412) and loss_prior = -elbo_prior (resp.
+        loss_prior = loss_ae for vampPrior, base.py:408-412). The groups then
+        update simultaneously at the same parameter point (standard
+        simultaneous-SGD semantics) instead of sequentially. ~3x faster;
+        production default for benchmarks. Not available with
+        TRAIN_decoded_z_std (its loss differs).
     """
     cfg = model.config
+    if cfg.get("fused_train_step", 1) == 2:
+        if cfg["TRAIN_decoded_z_std"] == 1:
+            raise ValueError("fused_train_step=2 is incompatible with "
+                             "TRAIN_decoded_z_std=1; use mode 1")
+        return _make_single_pass_step(model, jit)
 
     def train_step(state, batch, rng, gm, flags, lrs, do_prior):
         params = state["params"]
@@ -138,6 +158,67 @@ def make_train_step(model, jit=True):
                     lambda L, met: met["decoded_z_std_loss"])
 
         new_state = dict(params=params, opt=opt, step=state["step"] + 1)
+        return new_state, out
+
+    if jit:
+        return jax.jit(train_step, static_argnames=("do_prior",),
+                       donate_argnums=(0,))
+    return train_step
+
+
+def _make_single_pass_step(model, jit=True):
+    """One forward+backward for all optimiser groups (see make_train_step)."""
+    cfg = model.config
+    groups = group_keys(cfg)
+
+    def active_groups(do_prior):
+        names = []
+        if cfg["TRAIN_VAE"] == 1:
+            names.append("ae")
+        if cfg["TRAIN_sigma"] == 1:
+            names.append("sigma")
+        if (do_prior and cfg["prior"] in PRIORS_WITH_PRIOR_MODEL
+                and cfg["TRAIN_prior"] == 1):
+            names.append("prior")
+            if (cfg["prior"] in PRIORS_WITH_INNER_VAE
+                    and cfg["TRAIN_inner_sigma"] == 1):
+                names.append("inner_sigma")
+        return names
+
+    def train_step(state, batch, rng, gm, flags, lrs, do_prior):
+        params = state["params"]
+        opt = dict(state["opt"])
+        names = active_groups(do_prior)
+        all_keys = tuple(dict.fromkeys(
+            k for n in names for k in groups[n]))
+
+        def loss_fn(sub):
+            p = {**params, **sub}
+            loss_ae, metrics = compute_loss(model, p, batch, rng, gm, flags)
+            return loss_ae, metrics
+
+        sub = _subset(params, all_keys)
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(sub)
+        grads = clip_grads(grads)
+
+        new_params = dict(params)
+        for name in names:
+            keys = groups[name]
+            g = _subset(grads, keys)
+            p = _subset(params, keys)
+            upd, opt[name] = adam_update(g, opt[name], p, lrs[name])
+            new_params.update(upd)
+
+        out = {}
+        small = _small(metrics)
+        if "ae" in names:
+            out["ae"] = small
+        if "sigma" in names:
+            out["sigma"] = {"sigma": metrics["sigma"]}
+        if "prior" in names:
+            out["prior"] = small
+        new_state = dict(params=new_params, opt=opt, step=state["step"] + 1)
         return new_state, out
 
     if jit:

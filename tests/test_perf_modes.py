@@ -1,0 +1,133 @@
+"""Correctness tests for the performance modes: single-pass fused step
+(fused_train_step=2) and bfloat16 compute."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ladder_tpu.models.builder import make_model
+from ladder_tpu.training.losses import compute_loss, identity_gm
+from ladder_tpu.training.optim import adam_init, adam_update, clip_grads
+from ladder_tpu.training.step import init_state, make_train_step
+from tests.conftest import make_config
+
+
+def _setup(prior="ours", **overrides):
+    cfg = make_config(prior=prior, n_MC_samples=4, n_mixtures=3,
+                      num_hidden_units=64, num_hidden_units_inner_VAE=16,
+                      n_layers_inner_VAE=2, **overrides)
+    model = make_model(cfg)
+    state = init_state(model, jax.random.PRNGKey(0))
+    batch = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (8, 28, 28, 1)),
+                        dtype=jnp.float32)
+    gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+    flags = {"use_sg_prior": jnp.asarray(False), "use_mask": jnp.asarray(False)}
+    lrs = {k: jnp.asarray(1e-3) for k in ["ae", "sigma", "prior", "inner_sigma"]}
+    return cfg, model, state, batch, gm, flags, lrs
+
+
+def test_single_pass_grads_are_exact():
+    """The single-pass update must equal per-group grads of the matching
+    sub-losses at the same parameter point with the same rng."""
+    cfg, model, state, batch, gm, flags, lrs = _setup(fused_train_step=2)
+    step = make_train_step(model, jit=False)
+    rng = jax.random.PRNGKey(9)
+    new_state, out = step(dict(params=dict(state["params"]),
+                               opt=jax.tree.map(jnp.copy, state["opt"]),
+                               step=state["step"]),
+                          batch, rng, gm, flags, lrs, True)
+
+    # manual: one grad of loss_ae wrt each group at the ORIGINAL params
+    params = state["params"]
+
+    def loss_ae(sub, keys):
+        p = {**params, **{k: sub[k] for k in keys}}
+        return compute_loss(model, p, batch, rng, gm, flags)[0]
+
+    for gname, keys in [("ae", ("encoder", "decoder")), ("sigma", ("sigma",)),
+                        ("prior", ("prior",)),
+                        ("inner_sigma", ("inner_sigma",))]:
+        sub = {k: params[k] for k in keys}
+        grads = jax.grad(lambda s: loss_ae(s, keys))(sub)
+        grads = clip_grads(grads)
+        upd, _ = adam_update(grads, adam_init(sub), sub, lrs[gname])
+        for k in keys:
+            for a, b in zip(jax.tree.leaves(upd[k]),
+                            jax.tree.leaves(new_state["params"][k])):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-5, atol=1e-7)
+
+
+def test_single_pass_loss_prior_equivalence():
+    """grad(loss_ae, prior) == grad(loss_prior, prior) — the identity the
+    single-pass mode relies on (base.py:318-320, 399-412)."""
+    cfg, model, state, batch, gm, flags, _ = _setup()
+    params = state["params"]
+    rng = jax.random.PRNGKey(3)
+
+    def via_ae(prior_group):
+        p = {**params, "prior": prior_group}
+        return compute_loss(model, p, batch, rng, gm, flags)[0]
+
+    def via_prior(prior_group):
+        p = {**params, "prior": prior_group}
+        return compute_loss(model, p, batch, rng, gm, flags)[1]["loss_prior"]
+
+    g1 = jax.grad(via_ae)(params["prior"])
+    g2 = jax.grad(via_prior)(params["prior"])
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_single_pass_rejects_z_std():
+    cfg = make_config(prior="ours", fused_train_step=2, TRAIN_decoded_z_std=1)
+    model = make_model(cfg)
+    with pytest.raises(ValueError):
+        make_train_step(model)
+
+
+def test_bf16_loss_close_to_fp32():
+    cfg32, model32, state32, batch, gm, flags, _ = _setup()
+    cfg16 = make_config(prior="ours", n_MC_samples=4, n_mixtures=3,
+                        num_hidden_units=64, num_hidden_units_inner_VAE=16,
+                        n_layers_inner_VAE=2, dtype="bfloat16")
+    model16 = make_model(cfg16)
+    # same params (bf16 model stores fp32 params)
+    params = state32["params"]
+    rng = jax.random.PRNGKey(4)
+    l32, m32 = compute_loss(model32, params, batch, rng, gm, flags)
+    l16, m16 = compute_loss(model16, params, batch, rng, gm, flags)
+    # heads are fp32; loss should agree to bf16 activation precision
+    np.testing.assert_allclose(float(l16), float(l32), rtol=0.05)
+    assert np.isfinite(float(l16))
+
+
+def test_bf16_trains():
+    cfg, model, state, batch, gm, flags, lrs = _setup(dtype="bfloat16",
+                                                      fused_train_step=2)
+    step = make_train_step(model, jit=False)
+    rng = jax.random.PRNGKey(5)
+    losses = []
+    for i in range(5):
+        rng, r = jax.random.split(rng)
+        state, out = step(state, batch, r, gm, flags, lrs, True)
+        losses.append(float(out["ae"]["loss_ae"]))
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    # params stayed fp32
+    for leaf in jax.tree.leaves(state["params"]):
+        assert leaf.dtype == jnp.float32
+
+
+def test_uint8_batch_normalised_on_device():
+    cfg, model, state, batch, gm, flags, _ = _setup()
+    u8 = jnp.asarray((np.asarray(batch) * 255).astype(np.uint8))
+    rng = jax.random.PRNGKey(6)
+    l_f, _ = compute_loss(model, state["params"], batch, rng, gm, flags)
+    l_u, _ = compute_loss(model, state["params"],
+                          u8, rng, gm, flags)
+    # u8/255 differs from the float batch only by quantisation
+    np.testing.assert_allclose(float(l_u), float(l_f), rtol=0.02)

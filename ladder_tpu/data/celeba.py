@@ -91,10 +91,26 @@ class Prefetcher:
 
 
 class CelebARecords:
-    """Epoch iteration over one TFRecord split."""
+    """Epoch iteration over one TFRecord split.
 
-    def __init__(self, path, shape=(128, 128, 3)):
-        self.reader = ImageRecordReader(path, shape)
+    Uses the native C++ reader (ladder_tpu.runtime: mmap + thread-pool batch
+    decode) when the toolchain is available, else the pure-Python mmap
+    reader. Both produce identical uint8 batches (tested)."""
+
+    def __init__(self, path, shape=(128, 128, 3), prefer_native=True):
+        self.reader = None
+        if prefer_native:
+            try:
+                from ladder_tpu.runtime import (
+                    NativeImageRecordReader,
+                    native_available,
+                )
+                if native_available():
+                    self.reader = NativeImageRecordReader(path, shape)
+            except Exception:
+                self.reader = None
+        if self.reader is None:
+            self.reader = ImageRecordReader(path, shape)
         self.n = len(self.reader)
 
     def epoch(self, batch_size, seed, drop_remainder=True, prefetch=True):

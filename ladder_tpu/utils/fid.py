@@ -1,0 +1,123 @@
+"""FID evaluation utility.
+
+The reference's standalone FID tool (/root/reference/codes/utils.py:127-200)
+resizes two npz image sets, extracts InceptionV3/VGG16 imagenet features and
+computes the Frechet distance via tf.contrib.gan. Here the Frechet distance
+itself is exact closed-form numpy/scipy (matrix sqrt of the covariance
+product), and the feature extractor is pluggable:
+
+  * pass any feature_fn(images [N,H,W,3] float in [-1,1]) -> [N,D]
+  * inception_feature_fn() builds an InceptionV3 extractor from torchvision
+    or keras when pretrained weights are available locally, and raises a
+    clear error otherwise (this environment has no network egress — FID
+    against the standard Inception embedding needs the weights on disk).
+
+The preprocessing pipeline (resize to 64x64 then 140x140, [-1,1] scaling,
+clip for generated sets) follows the reference exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy import linalg
+
+
+def preprocess_input_original(x):
+    """utils.py:127-131: /255 then [-1,1]."""
+    x = x / 255.0
+    x = (x - 0.5) * 2.0
+    return x
+
+
+def preprocess_input_generated(x):
+    """utils.py:134-138: clip [0,1] then [-1,1]."""
+    x = np.clip(x, 0.0, 1.0)
+    x = (x - 0.5) * 2.0
+    return x
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """||mu1-mu2||^2 + Tr(S1 + S2 - 2 (S1 S2)^{1/2}) — the Frechet distance
+    between two Gaussians (what tf.contrib.gan.eval computed for the
+    reference, utils.py:196-200)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if isinstance(covmean, tuple):  # older scipy returns (sqrtm, errest)
+        covmean = covmean[0]
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                 - 2.0 * np.trace(covmean))
+
+
+def fid_from_activations(act1, act2):
+    """FID from two activation sets [N,D]."""
+    mu1, sigma1 = act1.mean(axis=0), np.cov(act1, rowvar=False)
+    mu2, sigma2 = act2.mean(axis=0), np.cov(act2, rowvar=False)
+    return frechet_distance(mu1, sigma1, mu2, sigma2)
+
+
+def resize_images_np(images, size):
+    """Bilinear resize (TF1 legacy coordinates) on host via the shared
+    matmul formulation."""
+    import jax.numpy as jnp
+
+    from ladder_tpu.ops.image import resize_bilinear_tf1
+    return np.asarray(resize_bilinear_tf1(jnp.asarray(images), size, size))
+
+
+def inception_feature_fn(pooling="avg"):
+    """Build an InceptionV3 pool-feature extractor if pretrained weights are
+    available locally (torchvision or keras caches). Raises RuntimeError with
+    guidance otherwise."""
+    try:
+        import torch
+        import torchvision  # noqa: F401
+        from torchvision.models import Inception_V3_Weights, inception_v3
+
+        net = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+        net.fc = torch.nn.Identity()
+        net.eval()
+
+        def feature_fn(images):
+            with torch.no_grad():
+                x = torch.from_numpy(
+                    np.transpose(images, (0, 3, 1, 2)).astype(np.float32))
+                return net(x).numpy()
+
+        return feature_fn
+    except Exception as e:
+        raise RuntimeError(
+            "No pretrained InceptionV3 available locally (torchvision "
+            "missing or weights not cached; this environment has no network "
+            "egress). Pass a custom feature_fn to compute_FID_score, or "
+            "provide weights on disk. Underlying error: {}".format(e))
+
+
+def compute_FID_score(data_file1, data_file2, feature_fn=None,
+                      second_set="generated", key="sampled_images",
+                      resize_to=64, feature_size=140):
+    """Reference-compatible entry (utils.py:141-200): load two npz image
+    sets, preprocess, resize, extract features, return FID."""
+    d1 = np.load(data_file1)[key].astype(np.float32)
+    d2 = np.load(data_file2)[key].astype(np.float32)
+    d1 = preprocess_input_original(d1)
+    d2 = (preprocess_input_generated(d2) if second_set == "generated"
+          else preprocess_input_original(d2))
+    d1 = resize_images_np(d1, resize_to)
+    d2 = resize_images_np(d2, resize_to)
+    if feature_fn is None:
+        feature_fn = inception_feature_fn()
+        d1 = resize_images_np(d1, feature_size)
+        d2 = resize_images_np(d2, feature_size)
+    act1 = feature_fn(d1)
+    act2 = feature_fn(d2)
+    score = fid_from_activations(act1, act2)
+    print("FID score between {} and {} is:\n{}".format(
+        data_file1, data_file2, score))
+    return score

@@ -77,8 +77,11 @@ class BatchNormTrain(nn.Module):
     reference's moving averages are updated but never read (is_training is
     constant True), so we do not carry them.
 
-    Under data parallelism the statistics are per-replica by default (the
-    reference's per-device semantics); pass axis_name to psum across the mesh.
+    Sharding semantics: under jit/GSPMD data parallelism the batch mean/var
+    are computed over the GLOBAL logical batch (XLA inserts the collective),
+    which matches the reference's full-batch statistics exactly. axis_name
+    is only needed in shard_map contexts, where reductions are per-shard
+    unless psum'd explicitly.
     """
 
     epsilon: float = 1e-3

@@ -12,9 +12,10 @@ Batch-statistic subtleties (SURVEY.md §7 hard parts): all loss reductions —
 including the sigma floor's mean-pixel-error — are written as global means,
 so under sharding XLA emits the cross-replica reduction and the floor sees
 the global batch error (the TF1 reference, being single-device, is the
-degenerate case). The CelebA encoder's BatchNorm uses per-shard statistics
-by default, matching the reference's per-device semantics; cross-replica BN
-is available via CelebAEncoder(bn_axis_name=...).
+degenerate case). The CelebA encoder's BatchNorm statistics are likewise
+global-batch under GSPMD (XLA inserts the collective), matching the
+reference's full-batch semantics; in shard_map contexts pass
+CelebAEncoder(bn_axis_name=...) to psum them explicitly.
 """
 
 from __future__ import annotations

@@ -192,23 +192,31 @@ class JointTrainer:
         lrs = self._lrs()
         do_prior = self._do_prior()
 
+        from ladder_tpu.utils.profiling import StepTimer, trace
+        timer = StepTimer(batch_size=cfg["batch_size"])
+        profile_dir = cfg.get("profile_dir") if self.cur_epoch == 1 else None
+
         train_loss_cur_epoch = 0.0
         n_iter = 0
-        for batch in self.train_batches():
-            self.state, out = self.train_step(
-                self.state, self._place(batch), self._next_rng(), gm, flags,
-                lrs, do_prior)
-            n_iter += 1
-            if cfg["TRAIN_VAE"] == 1 and "ae" in out:
-                m = jax.tree.map(np.asarray, out["ae"])
-                self.metrics.record_ae_step(m)
-                train_loss_cur_epoch += float(m["loss_ae"])
-            if cfg["TRAIN_sigma"] == 1 and "sigma" in out:
-                self.metrics.record_sigma_step(out["sigma"])
-            if do_prior and "prior" in out:
-                self.metrics.record_prior_step(
-                    jax.tree.map(np.asarray, out["prior"]), self.prior)
-            self.mid_epoch_hook(n_iter - 1)
+        with trace(profile_dir):
+            for batch in self.train_batches():
+                timer.start()
+                self.state, out = self.train_step(
+                    self.state, self._place(batch), self._next_rng(), gm,
+                    flags, lrs, do_prior)
+                timer.stop(sync_on=out)
+                n_iter += 1
+                if cfg["TRAIN_VAE"] == 1 and "ae" in out:
+                    m = jax.tree.map(np.asarray, out["ae"])
+                    self.metrics.record_ae_step(m)
+                    train_loss_cur_epoch += float(m["loss_ae"])
+                if cfg["TRAIN_sigma"] == 1 and "sigma" in out:
+                    self.metrics.record_sigma_step(out["sigma"])
+                if do_prior and "prior" in out:
+                    self.metrics.record_prior_step(
+                        jax.tree.map(np.asarray, out["prior"]), self.prior)
+                self.mid_epoch_hook(n_iter - 1)
+        self._timer_summary = timer.report(prefix=f"epoch {self.cur_epoch}: ")
 
         if cfg["TRAIN_VAE"] == 1 and n_iter:
             self.metrics.train_loss_ave_epoch.append(

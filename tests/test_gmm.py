@@ -113,7 +113,11 @@ def test_fit_bgmm_warm_start_resp():
     fit, resp = fit_bgmm(jax.random.PRNGKey(0), jnp.asarray(x), 6)
     fit2, _ = fit_bgmm(jax.random.PRNGKey(0), jnp.asarray(x), 6,
                        init_resp=resp)
-    assert int(fit2.n_iter) <= int(fit.n_iter)
+    # continuing from the previous responsibilities converges and does not
+    # regress the lower bound (tol-convergence is not a fixed point, so the
+    # warm fit may legitimately take further improving iterations)
+    assert bool(fit2.converged)
+    assert float(fit2.lower_bound) >= float(fit.lower_bound) - 1e-3
 
 
 def test_fit_bgmm_restarts_picks_best():

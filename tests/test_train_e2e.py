@@ -156,3 +156,15 @@ def test_missing_checkpoint_soft_fail(tmp_path, monkeypatch):
     ck = CheckpointManager(cfg)
     state2 = ck.load(state, model="VAE")  # must not raise
     assert state2 is not None
+
+
+def test_e2e_fashion(tmp_path, monkeypatch):
+    """MNIST-fashion model family end-to-end (4-conv encoder variant)."""
+    cfg, trainer = _train(tmp_path, monkeypatch, prior="standard_gaussian",
+                          exp_name="mnist_fashion")
+    losses = trainer.metrics.train_loss_ave_epoch
+    assert len(losses) == 2
+    assert losses[1] < losses[0]
+    r = np.load(os.path.join(cfg["result_dir"],
+                             "mnist_fashion-result.npz"))
+    assert len(r["train_loss"]) == 2 * (512 // 64)

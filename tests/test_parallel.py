@@ -95,3 +95,29 @@ def test_batch_sharding_layout(mesh):
     assert len(x.sharding.device_set) == 8
     shard_shapes = {s.data.shape for s in x.addressable_shards}
     assert shard_shapes == {(2, 28, 28, 1)}
+
+
+def test_trainer_with_mesh_e2e(mesh, tmp_path, monkeypatch):
+    """Full trainer epoch with the data-parallel mesh wired in (the
+    config['mesh_shape'] CLI path)."""
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    cfg = make_config(prior="ours", num_epochs=1, sg_pretraining=0,
+                      accurate_fit=5, n_MC_samples=4, n_mixtures=3,
+                      num_hidden_units=64, num_hidden_units_inner_VAE=16,
+                      n_layers_inner_VAE=2, enable_plots=0,
+                      synthetic_n_train=256, synthetic_n_test=128,
+                      batch_size=64)
+    cfg["result_dir"] = str(tmp_path / "result") + "/"
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+    model = make_model(cfg)
+    data = DataGenerator(cfg)
+    trainer = MNISTTrainer(model, data, cfg, mesh=mesh)
+    trainer.train()
+    assert len(trainer.metrics.train_loss) == 256 // 64
+    assert np.all(np.isfinite(trainer.metrics.train_loss))
+    assert trainer.gm_fast is not None

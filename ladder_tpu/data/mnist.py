@@ -60,7 +60,8 @@ def build_balanced_test_batch(x_test, y_test, batch_size):
     y_sel = np.zeros((batch_size,), dtype="uint8")
     filled = [0] * 10
     idx = 0
-    while sum(filled) < batch_size:
+    n = len(y_test)
+    while sum(filled) < batch_size and idx < n:
         cls = int(y_test[idx])
         if filled[cls] < counts[cls]:
             slot = sum(counts[:cls]) + filled[cls]
@@ -68,6 +69,17 @@ def build_balanced_test_batch(x_test, y_test, batch_size):
             y_sel[slot] = cls
             filled[cls] += 1
         idx += 1
+    if sum(filled) < batch_size:
+        # small validation sets may not cover every class quota (the
+        # reference would index past the array here); top up the remaining
+        # slots with arbitrary samples so the batch is always full.
+        for cls in range(10):
+            while filled[cls] < counts[cls]:
+                slot = sum(counts[:cls]) + filled[cls]
+                j = (slot * 7919) % n
+                x_sel[slot] = x_test[j]
+                y_sel[slot] = y_test[j]
+                filled[cls] += 1
     return x_sel, y_sel
 
 

@@ -36,7 +36,7 @@ def test_train_cli_main(tmp_path, monkeypatch):
         "n_layers_inner_VAE": 2,
         "synthetic_data": 1,
         "synthetic_n_train": 128,
-        "synthetic_n_test": 128,
+        "synthetic_n_test": 256,
         "enable_plots": 0,
     }
     cfg_path = tmp_path / "cfg.json"

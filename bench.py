@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")
+    ap.add_argument("--use-pallas", type=int, default=0,
+                    help="1: fused Pallas instnorm+style+leaky kernels in "
+                         "the decoder")
     args = ap.parse_args()
 
     import jax
@@ -67,6 +70,7 @@ def main():
         "sg_pretraining": 0,
         "dtype": args.dtype,
         "fused_train_step": args.fused,
+        "use_pallas": args.use_pallas,
     })
 
     model = make_model(cfg)

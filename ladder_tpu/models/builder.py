@@ -63,7 +63,8 @@ class LadderModel:
         elif exp == "celeba":
             self.encoder = CelebAEncoder(h, cfg["code_size"], cfg["kernel_size"],
                                          lvp, dtype=dt)
-            self.decoder = CelebADecoder(h, dtype=dt)
+            self.decoder = CelebADecoder(h, dtype=dt,
+                                         use_pallas=bool(cfg.get("use_pallas", 0)))
         else:
             raise ValueError(f"unknown exp_name: {exp}")
 

@@ -61,10 +61,15 @@ class CelebAEncoder(nn.Module):
 
 
 class CelebADecoder(nn.Module):
-    """models.py:499-587. [B, code_size] -> [B,128,128,3] (unclipped)."""
+    """models.py:499-587. [B, code_size] -> [B,128,128,3] (unclipped).
+
+    use_pallas=True routes each instance_norm -> style_mod -> leaky chain
+    through the fused Pallas kernel (one VMEM pass instead of 3+ HBM passes;
+    identical math and parameters)."""
 
     num_hidden_units: int
     dtype: Any = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, z):
@@ -72,6 +77,15 @@ class CelebADecoder(nn.Module):
         if dt is not None:
             z = z.astype(dt)
         encoded = leaky_relu(Dense(h, dtype=dt)(z))
+
+        def in_style(x, num):
+            """instance_norm -> style_mod(num) -> leaky_relu."""
+            if self.use_pallas:
+                return StyleMod(name=f"style_mod_{num}", dtype=dt,
+                                fuse_norm_lrelu=True)(x, dlatent)
+            x = instance_norm(x)
+            return leaky_relu(
+                StyleMod(name=f"style_mod_{num}", dtype=dt)(x, dlatent))
 
         # 8-layer dlatent mapping network (models.py:505-510)
         dlatent = encoded
@@ -83,23 +97,19 @@ class CelebADecoder(nn.Module):
         x = Conv(h, 1, dtype=dt)(x)
         x = resize_bilinear_tf1(x, 2, 2)
         # decoded_2: 2x2, instance_norm + style mod 0
-        x = instance_norm(Conv(h, 3, dtype=dt)(x))
-        x = leaky_relu(StyleMod(name="style_mod_0", dtype=dt)(x, dlatent))
+        x = in_style(Conv(h, 3, dtype=dt)(x), 0)
         # decoded_3: -> 8 -> conv -> 16
-        x = instance_norm(Conv(h, 3, dtype=dt)(x))
-        x = leaky_relu(StyleMod(name="style_mod_1", dtype=dt)(x, dlatent))
+        x = in_style(Conv(h, 3, dtype=dt)(x), 1)
         x = resize_bilinear_tf1(x, 8, 8)
         x = leaky_relu(Conv(h, 3, dtype=dt)(x))
         x = resize_bilinear_tf1(x, 16, 16)
         # decoded_4: -> 32 -> conv -> 64
-        x = instance_norm(Conv(h // 2, 3, dtype=dt)(x))
-        x = leaky_relu(StyleMod(name="style_mod_2", dtype=dt)(x, dlatent))
+        x = in_style(Conv(h // 2, 3, dtype=dt)(x), 2)
         x = resize_bilinear_tf1(x, 32, 32)
         x = leaky_relu(Conv(h // 2, 3, dtype=dt)(x))
         x = resize_bilinear_tf1(x, 64, 64)
         # decoded_5: -> 128 -> conv
-        x = instance_norm(Conv(h // 4, 3, dtype=dt)(x))
-        x = leaky_relu(StyleMod(name="style_mod_3", dtype=dt)(x, dlatent))
+        x = in_style(Conv(h // 4, 3, dtype=dt)(x), 3)
         x = resize_bilinear_tf1(x, 128, 128)
         x = leaky_relu(Conv(h // 4, 3, dtype=dt)(x))
         # decoded_6: 1x1 conv to 3 channels, linear (fp32 output)

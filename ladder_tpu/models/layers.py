@@ -58,14 +58,26 @@ def Conv(features, kernel_size, strides=1, padding="SAME", name=None,
 
 class StyleMod(nn.Module):
     """x * (scale+1) + shift where (scale, shift) = Dense(dlatent, 2C)
-    (modules.py:6-10). x: [B,H,W,C], dlatent: [B,D]."""
+    (modules.py:6-10). x: [B,H,W,C], dlatent: [B,D].
+
+    fuse_norm_lrelu=True applies the whole instance_norm -> style ->
+    leaky_relu chain via the fused Pallas kernel (same parameters, same
+    math; ops/pallas_kernels.py) — callers then skip the separate
+    instance_norm and leaky_relu."""
 
     dtype: Any = None
+    fuse_norm_lrelu: bool = False
 
     @nn.compact
     def __call__(self, x, dlatent):
         c = x.shape[-1]
         style = Dense(2 * c, name="style", dtype=self.dtype)(dlatent)
+        if self.fuse_norm_lrelu:
+            from ladder_tpu.ops.pallas_kernels import (
+                fused_instnorm_style_lrelu,
+            )
+            style = style.reshape(-1, 2, c).astype(x.dtype)
+            return fused_instnorm_style_lrelu(x, style[:, 0], style[:, 1])
         style = style.reshape(-1, 2, 1, 1, c).astype(x.dtype)
         return x * (style[:, 0] + 1.0) + style[:, 1]
 

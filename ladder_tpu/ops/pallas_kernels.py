@@ -1,0 +1,178 @@
+"""Pallas TPU kernels for the decoder's elementwise hot chain.
+
+The CelebA style decoder applies instance_norm -> style modulation ->
+leaky_relu at four resolutions (/root/reference/codes/models.py:522-571).
+Composed naively that is 3+ HBM passes over the activation (normalise,
+modulate, activate) plus two reduction passes for the statistics. The fused
+kernel below does the whole chain in ONE pass per sample: the [H,W,C] block
+lives in VMEM, channel statistics are computed in fp32 on the VPU, and the
+modulated activation is written once.
+
+A custom VJP fuses the backward the same way: one pass recomputing x_hat and
+producing dx, dscale, dshift (the style Dense's backward stays in XLA).
+
+Used by CelebADecoder when config['use_pallas']=1 and the block fits VMEM;
+the reference-composition fallback is always available (and is what the
+parity tests compare against). interpret=True makes the same kernels run on
+CPU for tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _leaky(x, alpha=0.2):
+    return jnp.where(x > 0, x, alpha * x)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel: one sample per grid step, [H,W,C] block in VMEM
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(x_ref, scale_ref, shift_ref, out_ref, xhat_ref, inv_ref,
+                eps, alpha):
+    x = x_ref[0].astype(jnp.float32)                       # [H,W,C]
+    mean = jnp.mean(x, axis=(0, 1), keepdims=True)         # [1,1,C]
+    var = jnp.mean(jnp.square(x - mean), axis=(0, 1), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    s = scale_ref[0].astype(jnp.float32) + 1.0             # [C]
+    t = shift_ref[0].astype(jnp.float32)
+    y = xhat * s[None, None, :] + t[None, None, :]
+    out_ref[0] = _leaky(y, alpha).astype(out_ref.dtype)
+    xhat_ref[0] = xhat.astype(xhat_ref.dtype)
+    inv_ref[0] = inv[0, 0, :]
+
+
+def _bwd_kernel(g_ref, xhat_ref, scale_ref, shift_ref, dx_ref, dscale_ref,
+                dshift_ref, eps, alpha):
+    g = g_ref[0].astype(jnp.float32)                       # [H,W,C]
+    xhat = xhat_ref[0].astype(jnp.float32)
+    s = scale_ref[0].astype(jnp.float32) + 1.0
+    t = shift_ref[0].astype(jnp.float32)
+    y = xhat * s[None, None, :] + t[None, None, :]
+    dy = g * jnp.where(y > 0, 1.0, alpha)
+    dscale_ref[0] = jnp.sum(dy * xhat, axis=(0, 1)).astype(dscale_ref.dtype)
+    dshift_ref[0] = jnp.sum(dy, axis=(0, 1)).astype(dshift_ref.dtype)
+    dxhat = dy * s[None, None, :]
+    m1 = jnp.mean(dxhat, axis=(0, 1), keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=(0, 1), keepdims=True)
+    # note: inv is folded into xhat's definition; recover it from variance of
+    # the forward via the saved xhat is impossible, so we also need inv.
+    # It is passed implicitly: dx = inv * (dxhat - m1 - xhat*m2), and inv is
+    # stored in the last channel row? -> we instead save inv alongside xhat.
+    dx_ref[0] = (dxhat - m1 - xhat * m2).astype(dx_ref.dtype)
+
+
+def _block_bytes(h, w, c, dtype):
+    return h * w * c * jnp.dtype(dtype).itemsize
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def fused_instnorm_style_lrelu(x, scale, shift, eps=1e-6, alpha=0.2):
+    """leaky(instance_norm(x) * (scale+1) + shift), fused.
+
+    x: [B,H,W,C]; scale, shift: [B,C]. Matches
+    leaky_relu(style_mod(instance_norm(x))) exactly (models.py:522-528) given
+    style = concat[scale, shift] from the style Dense.
+    """
+    out, _, _ = _fused_fwd_impl(x, scale, shift, eps, alpha)
+    return out
+
+
+def _fused_fwd_impl(x, scale, shift, eps, alpha):
+    b, h, w, c = x.shape
+    kernel = functools.partial(_fwd_kernel, eps=eps, alpha=alpha)
+    out, xhat, inv = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(x.shape, x.dtype),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x, scale, shift)
+    return out, xhat, inv
+
+
+def _fused_fwd(x, scale, shift, eps, alpha):
+    out, xhat, inv = _fused_fwd_impl(x, scale, shift, eps, alpha)
+    # dtype token: residuals must be JAX types, so carry x's dtype via an
+    # empty array
+    return out, (xhat, scale, shift, inv, jnp.zeros((0,), x.dtype))
+
+
+def _fused_bwd(eps, alpha, residuals, g):
+    xhat, scale, shift, inv, dtype_token = residuals
+    x_dtype = dtype_token.dtype
+    b, h, w, c = xhat.shape
+    kernel = functools.partial(_bwd_kernel, eps=eps, alpha=alpha)
+    dx_unscaled, dscale, dshift = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(g, xhat, scale, shift)
+    dx = (dx_unscaled * inv[:, None, None, :]).astype(x_dtype)
+    return dx, dscale.astype(scale.dtype), dshift.astype(shift.dtype)
+
+
+fused_instnorm_style_lrelu.defvjp(_fused_fwd, _fused_bwd)
+
+
+def reference_instnorm_style_lrelu(x, scale, shift, eps=1e-6, alpha=0.2):
+    """Unfused composition for parity testing (and the non-pallas path)."""
+    from ladder_tpu.ops.image import instance_norm
+    xn = instance_norm(x, eps=eps)
+    y = xn * (scale[:, None, None, :] + 1.0) + shift[:, None, None, :]
+    return jnp.where(y > 0, y, alpha * y)
+
+
+def vmem_fits(h, w, c, dtype=jnp.bfloat16, budget_bytes=8 * 2 ** 20):
+    """Whether one sample's [H,W,C] block (x + xhat copies) fits VMEM."""
+    return 2 * _block_bytes(h, w, c, dtype) + _block_bytes(h, w, c,
+                                                           jnp.float32) \
+        <= budget_bytes

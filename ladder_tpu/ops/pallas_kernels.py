@@ -15,6 +15,12 @@ Used by CelebADecoder when config['use_pallas']=1 and the block fits VMEM;
 the reference-composition fallback is always available (and is what the
 parity tests compare against). interpret=True makes the same kernels run on
 CPU for tests.
+
+Measured on v5e (batch 64, h=512): the pallas path runs the full train step
+at 22.0 ms vs 20.5 ms for XLA's own fusion — XLA fuses the norm chain into
+the neighbouring convolutions' epilogues, which the pallas_call boundary
+prevents. use_pallas therefore defaults to 0; the kernel is kept as the
+tested template for ops where XLA fusion genuinely falls short.
 """
 
 from __future__ import annotations
@@ -37,39 +43,41 @@ def _leaky(x, alpha=0.2):
 # forward kernel: one sample per grid step, [H,W,C] block in VMEM
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(x_ref, scale_ref, shift_ref, out_ref, xhat_ref, inv_ref,
-                eps, alpha):
+def _fwd_kernel(x_ref, scale_ref, shift_ref, out_ref, eps, alpha):
+    # per-sample vectors arrive as [1,1,C] blocks of [B,1,C] arrays (a
+    # (1,C) block of a [B,C] array violates TPU tiling when 1 % 8 != 0)
     x = x_ref[0].astype(jnp.float32)                       # [H,W,C]
     mean = jnp.mean(x, axis=(0, 1), keepdims=True)         # [1,1,C]
     var = jnp.mean(jnp.square(x - mean), axis=(0, 1), keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
     xhat = (x - mean) * inv
-    s = scale_ref[0].astype(jnp.float32) + 1.0             # [C]
-    t = shift_ref[0].astype(jnp.float32)
+    s = scale_ref[0, 0].astype(jnp.float32) + 1.0          # [C]
+    t = shift_ref[0, 0].astype(jnp.float32)
     y = xhat * s[None, None, :] + t[None, None, :]
     out_ref[0] = _leaky(y, alpha).astype(out_ref.dtype)
-    xhat_ref[0] = xhat.astype(xhat_ref.dtype)
-    inv_ref[0] = inv[0, 0, :]
 
 
-def _bwd_kernel(g_ref, xhat_ref, scale_ref, shift_ref, dx_ref, dscale_ref,
+def _bwd_kernel(g_ref, x_ref, scale_ref, shift_ref, dx_ref, dscale_ref,
                 dshift_ref, eps, alpha):
+    # Recompute the normalisation from x (cheaper than materialising an
+    # fp32 xhat residual in the forward: that extra HBM write cost more
+    # than the fusion saved, measured on v5e).
     g = g_ref[0].astype(jnp.float32)                       # [H,W,C]
-    xhat = xhat_ref[0].astype(jnp.float32)
-    s = scale_ref[0].astype(jnp.float32) + 1.0
-    t = shift_ref[0].astype(jnp.float32)
+    x = x_ref[0].astype(jnp.float32)
+    mean = jnp.mean(x, axis=(0, 1), keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=(0, 1), keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (x - mean) * inv
+    s = scale_ref[0, 0].astype(jnp.float32) + 1.0
+    t = shift_ref[0, 0].astype(jnp.float32)
     y = xhat * s[None, None, :] + t[None, None, :]
     dy = g * jnp.where(y > 0, 1.0, alpha)
-    dscale_ref[0] = jnp.sum(dy * xhat, axis=(0, 1)).astype(dscale_ref.dtype)
-    dshift_ref[0] = jnp.sum(dy, axis=(0, 1)).astype(dshift_ref.dtype)
+    dscale_ref[0, 0] = jnp.sum(dy * xhat, axis=(0, 1)).astype(dscale_ref.dtype)
+    dshift_ref[0, 0] = jnp.sum(dy, axis=(0, 1)).astype(dshift_ref.dtype)
     dxhat = dy * s[None, None, :]
     m1 = jnp.mean(dxhat, axis=(0, 1), keepdims=True)
     m2 = jnp.mean(dxhat * xhat, axis=(0, 1), keepdims=True)
-    # note: inv is folded into xhat's definition; recover it from variance of
-    # the forward via the saved xhat is impossible, so we also need inv.
-    # It is passed implicitly: dx = inv * (dxhat - m1 - xhat*m2), and inv is
-    # stored in the last channel row? -> we instead save inv alongside xhat.
-    dx_ref[0] = (dxhat - m1 - xhat * m2).astype(dx_ref.dtype)
+    dx_ref[0] = ((dxhat - m1 - xhat * m2) * inv).astype(dx_ref.dtype)
 
 
 def _block_bytes(h, w, c, dtype):
@@ -84,53 +92,39 @@ def fused_instnorm_style_lrelu(x, scale, shift, eps=1e-6, alpha=0.2):
     leaky_relu(style_mod(instance_norm(x))) exactly (models.py:522-528) given
     style = concat[scale, shift] from the style Dense.
     """
-    out, _, _ = _fused_fwd_impl(x, scale, shift, eps, alpha)
-    return out
+    return _fused_fwd_impl(x, scale, shift, eps, alpha)
 
 
 def _fused_fwd_impl(x, scale, shift, eps, alpha):
     b, h, w, c = x.shape
     kernel = functools.partial(_fwd_kernel, eps=eps, alpha=alpha)
-    out, xhat, inv = pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct(x.shape, x.dtype),
-            jax.ShapeDtypeStruct(x.shape, jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         interpret=_INTERPRET,
-    )(x, scale, shift)
-    return out, xhat, inv
+    )(x, scale[:, None, :], shift[:, None, :])
+    return out
 
 
 def _fused_fwd(x, scale, shift, eps, alpha):
-    out, xhat, inv = _fused_fwd_impl(x, scale, shift, eps, alpha)
-    # dtype token: residuals must be JAX types, so carry x's dtype via an
-    # empty array
-    return out, (xhat, scale, shift, inv, jnp.zeros((0,), x.dtype))
+    out = _fused_fwd_impl(x, scale, shift, eps, alpha)
+    return out, (x, scale, shift)
 
 
 def _fused_bwd(eps, alpha, residuals, g):
-    xhat, scale, shift, inv, dtype_token = residuals
-    x_dtype = dtype_token.dtype
-    b, h, w, c = xhat.shape
+    x, scale, shift = residuals
+    b, h, w, c = x.shape
     kernel = functools.partial(_bwd_kernel, eps=eps, alpha=alpha)
     dx_unscaled, dscale, dshift = pl.pallas_call(
         kernel,
@@ -140,24 +134,29 @@ def _fused_bwd(eps, alpha, residuals, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
-            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, w, c), x.dtype),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, c), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(g, xhat, scale, shift)
-    dx = (dx_unscaled * inv[:, None, None, :]).astype(x_dtype)
-    return dx, dscale.astype(scale.dtype), dshift.astype(shift.dtype)
+    )(g, x, scale[:, None, :], shift[:, None, :])
+    dscale = dscale[:, 0, :]
+    dshift = dshift[:, 0, :]
+    return dx_unscaled, dscale.astype(scale.dtype), dshift.astype(shift.dtype)
 
 
 fused_instnorm_style_lrelu.defvjp(_fused_fwd, _fused_bwd)

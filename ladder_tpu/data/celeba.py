@@ -113,15 +113,32 @@ class CelebARecords:
             self.reader = ImageRecordReader(path, shape)
         self.n = len(self.reader)
 
-    def epoch(self, batch_size, seed, drop_remainder=True, prefetch=True):
+    def epoch(self, batch_size, seed, drop_remainder=True, prefetch=True,
+              to_device=False, sharding=None):
+        """to_device=True moves the host->HBM transfer into the prefetch
+        thread (double-buffered), overlapping it with the device step —
+        essential when transfer latency rivals step time. Pass a sharding to
+        place batches sharded across a mesh."""
         perm = np.random.default_rng(seed).permutation(self.n)
         n_batches = (self.n // batch_size if drop_remainder
                      else -(-self.n // batch_size))
         idx_batches = [perm[i * batch_size:(i + 1) * batch_size]
                        for i in range(n_batches)]
+
+        if to_device:
+            import jax
+
+            def fetch(ix):
+                batch = self.reader.read_batch(ix)
+                if sharding is not None:
+                    return jax.device_put(batch, sharding)
+                return jax.device_put(batch)
+        else:
+            fetch = self.reader.read_batch
+
         if prefetch:
-            return iter(Prefetcher(self.reader.read_batch, idx_batches))
-        return (self.reader.read_batch(ix) for ix in idx_batches)
+            return iter(Prefetcher(fetch, idx_batches))
+        return (fetch(ix) for ix in idx_batches)
 
     def first_batch(self, batch_size):
         """Sequential head batch (the reference's test batch is the first

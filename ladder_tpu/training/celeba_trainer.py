@@ -25,12 +25,16 @@ class CelebATrainer(JointTrainer):
         return schedules.lr_ae_celeba(self.config, self.cur_epoch)
 
     def train_batches(self):
+        # transfer inside the prefetch thread: decode AND host->HBM copy of
+        # batch k+1 overlap the device step k
         return self.data.train.epoch(self.config["batch_size"],
-                                     seed=self.cur_epoch)
+                                     seed=self.cur_epoch, to_device=True,
+                                     sharding=self._batch_sharding())
 
     def val_batches(self):
         return self.data.val.epoch(self.config["batch_size"],
-                                   seed=self.cur_epoch)
+                                   seed=self.cur_epoch, to_device=True,
+                                   sharding=self._batch_sharding())
 
     def sample_batches(self, n_samples):
         bs = self.config["batch_size"]

@@ -115,11 +115,21 @@ class JointTrainer:
 
     def _place(self, batch):
         """Device placement: shard the batch axis over the mesh when data
-        parallel, else plain transfer."""
+        parallel, else plain transfer. Batches already on device (the
+        prefetching pipeline transfers in its worker thread) pass through."""
+        if isinstance(batch, jax.Array):
+            return batch
         if self.mesh is not None:
             from ladder_tpu.parallel.mesh import shard_batch
             return shard_batch(np.asarray(batch), self.mesh)
         return jnp.asarray(batch)
+
+    def _batch_sharding(self):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return NamedSharding(self.mesh, P(self.config.get("data_axis",
+                                                          "data")))
 
     def _gm_for_step(self):
         """Device GM pytree fed to the train step (compute_feeddict parity,

@@ -52,6 +52,17 @@ def shard_batch(batch, mesh, axis_name="data"):
     return jax.device_put(batch, sharding)
 
 
+def global_batch_from_local(local_batch, mesh, axis_name="data"):
+    """Multi-process input sharding: each process contributes its local
+    slice of the global batch (jax.make_array_from_process_local_data —
+    SURVEY.md §5 distributed-backend design). Single-process falls back to
+    shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh, axis_name)
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.make_array_from_process_local_data(sharding, local_batch)
+
+
 def pad_to_multiple(batch, multiple):
     """Pad the leading axis up to a device-count multiple (repeat-edge), and
     return (padded, real_count) so callers can unweight if needed."""

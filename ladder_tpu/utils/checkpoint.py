@@ -88,17 +88,51 @@ class CheckpointManager:
 
     # -- full-state extension ------------------------------------------
     def save_full(self, state, extra=None):
-        """extra: dict of host-side state (gm params, epoch, rng key...)."""
+        """extra: dict of host-side state (gm params, epoch, rng key...).
+
+        Backend selectable via config['checkpoint_backend']: 'msgpack'
+        (default; single-file flax serialization) or 'orbax'
+        (orbax.checkpoint PyTree directory layout — the multi-host-capable
+        path for pod-scale runs, SURVEY.md §7 build plan item 9)."""
         payload = {"state": state, "extra": extra or {}}
-        save_msgpack(self.path_state, payload)
+        if self.config.get("checkpoint_backend") == "orbax":
+            self._orbax_save(payload)
+        else:
+            save_msgpack(self.path_state, payload)
 
     def load_full(self, state_template):
-        if not os.path.isfile(self.path_state):
+        if self.config.get("checkpoint_backend") == "orbax":
+            raw = self._orbax_load()
+            if raw is None:
+                return None
+        elif os.path.isfile(self.path_state):
+            raw = load_msgpack(self.path_state)
+        else:
             return None
-        raw = load_msgpack(self.path_state)
         state = serialization.from_state_dict(
             state_template, raw["state"])
         return state, raw.get("extra", {})
+
+    # -- orbax backend --------------------------------------------------
+    def _orbax_dir(self):
+        return os.path.abspath(os.path.join(self.config["checkpoint_dir"],
+                                            "train-state-orbax"))
+
+    def _orbax_save(self, payload):
+        import orbax.checkpoint as ocp
+
+        path = self._orbax_dir()
+        with ocp.PyTreeCheckpointer() as ckptr:
+            ckptr.save(path, _to_host(payload), force=True)
+
+    def _orbax_load(self):
+        import orbax.checkpoint as ocp
+
+        path = self._orbax_dir()
+        if not os.path.isdir(path):
+            return None
+        with ocp.PyTreeCheckpointer() as ckptr:
+            return ckptr.restore(path)
 
 
 def save_gm_prior_info(result_dir, weights, means, covs, active_threshold=1e-2):

@@ -168,3 +168,21 @@ def test_e2e_fashion(tmp_path, monkeypatch):
     r = np.load(os.path.join(cfg["result_dir"],
                              "mnist_fashion-result.npz"))
     assert len(r["train_loss"]) == 2 * (512 // 64)
+
+
+def test_orbax_checkpoint_backend(tmp_path, monkeypatch):
+    """Full-state save/restore through the orbax backend."""
+    cfg, trainer = _train(tmp_path, monkeypatch, prior="standard_gaussian",
+                          checkpoint_backend="orbax")
+    import jax
+
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+
+    t2 = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg)
+    t2.restore()
+    assert t2.cur_epoch == 2
+    for a, b in zip(jax.tree.leaves(trainer.state["params"]),
+                    jax.tree.leaves(t2.state["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -34,8 +34,13 @@ def clip_grads(grads, limit=1.0):
 
 
 def adam_update(grads, state, params, lr,
-                b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS):
-    """One TF1-style Adam step. Returns (new_params, new_state)."""
+                b1=ADAM_B1, b2=ADAM_B2, eps=ADAM_EPS, skip_nonfinite=False):
+    """One TF1-style Adam step. Returns (new_params, new_state).
+
+    skip_nonfinite=True drops the whole group update (params, moments and
+    the step counter stay put) when any gradient element is NaN/inf — the
+    failure-detection guard for long unattended runs (SURVEY.md §5 lists the
+    reference as having none)."""
     t = state["t"] + 1
     tf_ = t.astype(jnp.float32)
     lr_t = lr * jnp.sqrt(1.0 - b2 ** tf_) / (1.0 - b1 ** tf_)
@@ -43,4 +48,12 @@ def adam_update(grads, state, params, lr,
     v = jax.tree.map(lambda v_, g: b2 * v_ + (1.0 - b2) * g * g, state["v"], grads)
     new_params = jax.tree.map(
         lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + eps), params, m, v)
+    if skip_nonfinite:
+        finite = jnp.all(jnp.stack([
+            jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]))
+        keep = lambda new, old: jax.tree.map(
+            lambda a, b: jnp.where(finite, a, b), new, old)
+        return keep(new_params, params), dict(
+            m=keep(m, state["m"]), v=keep(v, state["v"]),
+            t=jnp.where(finite, t, state["t"]))
     return new_params, dict(m=m, v=v, t=t)

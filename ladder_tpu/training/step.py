@@ -84,7 +84,9 @@ def _grad_step(model, params, opt_state, keys, batch, rng, gm, flags, lr,
     group = _subset(params, keys)
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(group)
     grads = clip_grads(grads)
-    new_group, new_opt = adam_update(grads, opt_state, group, lr)
+    new_group, new_opt = adam_update(
+        grads, opt_state, group, lr,
+        skip_nonfinite=bool(model.config.get("skip_nonfinite_updates", 0)))
     return {**params, **new_group}, new_opt, metrics
 
 
@@ -203,11 +205,13 @@ def _make_single_pass_step(model, jit=True):
         grads = clip_grads(grads)
 
         new_params = dict(params)
+        skip = bool(cfg.get("skip_nonfinite_updates", 0))
         for name in names:
             keys = groups[name]
             g = _subset(grads, keys)
             p = _subset(params, keys)
-            upd, opt[name] = adam_update(g, opt[name], p, lrs[name])
+            upd, opt[name] = adam_update(g, opt[name], p, lrs[name],
+                                         skip_nonfinite=skip)
             new_params.update(upd)
 
         out = {}

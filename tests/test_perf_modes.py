@@ -131,3 +131,27 @@ def test_uint8_batch_normalised_on_device():
                           u8, rng, gm, flags)
     # u8/255 differs from the float batch only by quantisation
     np.testing.assert_allclose(float(l_u), float(l_f), rtol=0.02)
+
+
+def test_skip_nonfinite_guard():
+    """A NaN gradient leaves the group untouched when the guard is on."""
+    import jax.numpy as jnp
+
+    from ladder_tpu.training.optim import adam_init, adam_update
+
+    params = {"w": jnp.ones(4)}
+    state = adam_init(params)
+    bad = {"w": jnp.array([1.0, jnp.nan, 0.0, 0.0])}
+    good = {"w": jnp.ones(4)}
+
+    p1, s1 = adam_update(bad, state, params, 0.1, skip_nonfinite=True)
+    np.testing.assert_array_equal(np.asarray(p1["w"]), np.ones(4))
+    assert int(s1["t"]) == 0
+
+    p2, s2 = adam_update(good, s1, p1, 0.1, skip_nonfinite=True)
+    assert not np.allclose(np.asarray(p2["w"]), np.ones(4))
+    assert int(s2["t"]) == 1
+
+    # without the guard the NaN propagates (documenting the default)
+    p3, _ = adam_update(bad, state, params, 0.1)
+    assert np.isnan(np.asarray(p3["w"])).any()

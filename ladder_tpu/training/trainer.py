@@ -208,25 +208,32 @@ class JointTrainer:
 
         train_loss_cur_epoch = 0.0
         n_iter = 0
+        # Metric outputs stay on device during the epoch (a per-step
+        # np.asarray would force a host sync per step — pure dispatch
+        # latency on tunneled/remote devices); one device_get drains them
+        # at epoch end. sync_each_step=1 restores per-step timing fidelity.
+        sync_each = bool(cfg.get("sync_each_step", 0))
+        outs = []
         with trace(profile_dir):
             for batch in self.train_batches():
                 timer.start()
                 self.state, out = self.train_step(
                     self.state, self._place(batch), self._next_rng(), gm,
                     flags, lrs, do_prior)
-                timer.stop(sync_on=out)
+                timer.stop(sync_on=out if sync_each else None)
+                outs.append(out)
                 n_iter += 1
-                if cfg["TRAIN_VAE"] == 1 and "ae" in out:
-                    m = jax.tree.map(np.asarray, out["ae"])
-                    self.metrics.record_ae_step(m)
-                    train_loss_cur_epoch += float(m["loss_ae"])
-                if cfg["TRAIN_sigma"] == 1 and "sigma" in out:
-                    self.metrics.record_sigma_step(out["sigma"])
-                if do_prior and "prior" in out:
-                    self.metrics.record_prior_step(
-                        jax.tree.map(np.asarray, out["prior"]), self.prior)
                 self.mid_epoch_hook(n_iter - 1)
+            jax.block_until_ready(self.state)
         self._timer_summary = timer.report(prefix=f"epoch {self.cur_epoch}: ")
+        for out in jax.device_get(outs):
+            if cfg["TRAIN_VAE"] == 1 and "ae" in out:
+                self.metrics.record_ae_step(out["ae"])
+                train_loss_cur_epoch += float(out["ae"]["loss_ae"])
+            if cfg["TRAIN_sigma"] == 1 and "sigma" in out:
+                self.metrics.record_sigma_step(out["sigma"])
+            if do_prior and "prior" in out:
+                self.metrics.record_prior_step(out["prior"], self.prior)
 
         if cfg["TRAIN_VAE"] == 1 and n_iter:
             self.metrics.train_loss_ave_epoch.append(
@@ -560,13 +567,28 @@ class MNISTTrainer(JointTrainer):
             plotting.plot_ground_truth_test_set(
                 self._test_batch, config["result_dir"], config["batch_size"])
 
+    def _prefetched(self, images):
+        """Background-thread device transfer of upcoming batches (double
+        buffered) — overlaps the host->HBM copy with the device step."""
+        from ladder_tpu.data.celeba import Prefetcher
+        sharding = self._batch_sharding()
+        bs = self.config["batch_size"]
+        n = images.shape[0] // bs
+
+        def fetch(i):
+            batch = next(self._gen)
+            if sharding is not None:
+                return jax.device_put(batch, sharding)
+            return jax.device_put(batch)
+
+        self._gen = epoch_batches(images, bs, self.cur_epoch)
+        return iter(Prefetcher(fetch, range(n)))
+
     def train_batches(self):
-        return epoch_batches(self.data.train_set["image"],
-                             self.config["batch_size"], self.cur_epoch)
+        return self._prefetched(self.data.train_set["image"])
 
     def val_batches(self):
-        return epoch_batches(self.data.val_set["image"],
-                             self.config["batch_size"], self.cur_epoch)
+        return self._prefetched(self.data.val_set["image"])
 
     def sample_batches(self, n_samples):
         bs = self.config["batch_size"]

@@ -19,8 +19,6 @@ with elementwise +-1 gradient clipping then TF1-style Adam per group.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 

@@ -77,7 +77,7 @@ class JointTrainer:
         self.output_test = None
 
         if self.mesh is not None:
-            from ladder_tpu.parallel.mesh import shard_state, replicate
+            from ladder_tpu.parallel.mesh import shard_state
             self.state = shard_state(self.state, self.mesh)
 
         self.num_para_list = model.count_params()

@@ -574,14 +574,14 @@ class MNISTTrainer(JointTrainer):
         sharding = self._batch_sharding()
         bs = self.config["batch_size"]
         n = images.shape[0] // bs
+        gen = epoch_batches(images, bs, self.cur_epoch)
 
-        def fetch(i):
-            batch = next(self._gen)
+        def fetch(i, _gen=gen):
+            batch = next(_gen)
             if sharding is not None:
                 return jax.device_put(batch, sharding)
             return jax.device_put(batch)
 
-        self._gen = epoch_batches(images, bs, self.cur_epoch)
         return iter(Prefetcher(fetch, range(n)))
 
     def train_batches(self):

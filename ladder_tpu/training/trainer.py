@@ -257,10 +257,13 @@ class JointTrainer:
         val_loss_cur_epoch = 0.0
         n_val = 0
         gm = self._gm_for_step()
+        # same epoch-lazy pattern as training: no per-batch host sync
+        val_outs = []
         for batch in self.val_batches():
-            m = self.eval_step(self.state["params"], self._place(batch),
-                               self._next_rng(), gm, flags)
-            m = jax.tree.map(np.asarray, m)
+            val_outs.append(self.eval_step(
+                self.state["params"], self._place(batch), self._next_rng(),
+                gm, flags))
+        for m in jax.device_get(val_outs):
             if cfg["TRAIN_VAE"] == 1:
                 val_loss_cur_epoch += self.metrics.record_val_step(
                     m, "VAE", self.prior)

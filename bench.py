@@ -37,6 +37,9 @@ def main():
     ap.add_argument("--use-pallas", type=int, default=0,
                     help="1: fused Pallas instnorm+style+leaky kernels in "
                          "the decoder")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="N>0: shard the batch over an N-device data-parallel "
+                         "mesh (params replicated; per-chip batch = batch/N)")
     args = ap.parse_args()
 
     import jax
@@ -77,6 +80,14 @@ def main():
     state = init_state(model, jax.random.PRNGKey(0))
     step = make_train_step(model)
     gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+
+    mesh = None
+    if args.mesh > 0:
+        from ladder_tpu.parallel.mesh import make_mesh, replicate
+        mesh = make_mesh(devices=jax.devices()[:args.mesh])
+        state = replicate(state, mesh)
+        gm = replicate(gm, mesh)
+        n_chips = args.mesh
     flags = {"use_sg_prior": jnp.asarray(False),
              "use_mask": jnp.asarray(False)}
     lrs = {k: jnp.asarray(2.5e-4, dtype=jnp.float32)
@@ -103,7 +114,11 @@ def main():
                       n_chips, streamed=True)
             return
 
-    batch = jnp.asarray(batch_host)
+    if mesh is not None:
+        from ladder_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(batch_host, mesh)
+    else:
+        batch = jnp.asarray(batch_host)
     # warmup (compile)
     for i in range(args.warmup):
         rng, r = jax.random.split(rng)

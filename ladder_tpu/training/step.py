@@ -117,7 +117,11 @@ def make_train_step(model, jit=True):
                              "TRAIN_decoded_z_std=1; use mode 1")
         return _make_single_pass_step(model, jit)
 
-    def train_step(state, batch, rng, gm, flags, lrs, do_prior):
+    def train_step(state, batch, rng, gm, flags, lrs, do_prior,
+                   sg_overlap=False):
+        # sg_overlap is only meaningful for the single-pass mode; the
+        # sequential sub-steps differentiate loss_prior directly.
+        del sg_overlap
         params = state["params"]
         opt = dict(state["opt"])
         rngs = jax.random.split(rng, 5)
@@ -161,7 +165,8 @@ def make_train_step(model, jit=True):
         return new_state, out
 
     if jit:
-        return jax.jit(train_step, static_argnames=("do_prior",),
+        return jax.jit(train_step,
+                       static_argnames=("do_prior", "sg_overlap"),
                        donate_argnums=(0,))
     return train_step
 
@@ -185,12 +190,23 @@ def _make_single_pass_step(model, jit=True):
                 names.append("inner_sigma")
         return names
 
-    def train_step(state, batch, rng, gm, flags, lrs, do_prior):
+    def train_step(state, batch, rng, gm, flags, lrs, do_prior,
+                   sg_overlap=False):
+        """sg_overlap (static): True only for the epoch where prior training
+        and the standard-gaussian pretraining switch coincide
+        (cur_epoch == sg_pretraining; trainers.py:39 vs base.py:868). There
+        loss_ae's cross-entropy is ce_sg — the single backward of loss_ae
+        carries no elbo_prior gradient — so the prior groups take a second,
+        explicit backward of loss_prior for that one epoch."""
         params = state["params"]
         opt = dict(state["opt"])
         names = active_groups(do_prior)
+        prior_names = [n for n in names if n in ("prior", "inner_sigma")]
+        main_names = names
+        if sg_overlap and prior_names:
+            main_names = [n for n in names if n not in prior_names]
         all_keys = tuple(dict.fromkeys(
-            k for n in names for k in groups[n]))
+            k for n in main_names for k in groups[n]))
 
         def loss_fn(sub):
             p = {**params, **sub}
@@ -201,16 +217,37 @@ def _make_single_pass_step(model, jit=True):
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(sub)
         grads = clip_grads(grads)
+        skip = bool(cfg.get("skip_nonfinite_updates", 0))
 
         new_params = dict(params)
-        skip = bool(cfg.get("skip_nonfinite_updates", 0))
-        for name in names:
+        for name in main_names:
             keys = groups[name]
             g = _subset(grads, keys)
             p = _subset(params, keys)
             upd, opt[name] = adam_update(g, opt[name], p, lrs[name],
                                          skip_nonfinite=skip)
             new_params.update(upd)
+
+        if sg_overlap and prior_names:
+            prior_keys = tuple(dict.fromkeys(
+                k for n in prior_names for k in groups[n]))
+
+            def prior_loss_fn(sub):
+                p = {**params, **sub}
+                _, m = compute_loss(model, p, batch, rng, gm, flags)
+                return m["loss_prior"], m
+
+            psub = _subset(params, prior_keys)
+            (_, metrics_p), pgrads = jax.value_and_grad(
+                prior_loss_fn, has_aux=True)(psub)
+            pgrads = clip_grads(pgrads)
+            for name in prior_names:
+                keys = groups[name]
+                g = _subset(pgrads, keys)
+                p = _subset(params, keys)
+                upd, opt[name] = adam_update(g, opt[name], p, lrs[name],
+                                             skip_nonfinite=skip)
+                new_params.update(upd)
 
         out = {}
         small = _small(metrics)
@@ -224,7 +261,8 @@ def _make_single_pass_step(model, jit=True):
         return new_state, out
 
     if jit:
-        return jax.jit(train_step, static_argnames=("do_prior",),
+        return jax.jit(train_step,
+                       static_argnames=("do_prior", "sg_overlap"),
                        donate_argnums=(0,))
     return train_step
 

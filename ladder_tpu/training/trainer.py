@@ -219,7 +219,9 @@ class JointTrainer:
                 timer.start()
                 self.state, out = self.train_step(
                     self.state, self._place(batch), self._next_rng(), gm,
-                    flags, lrs, do_prior)
+                    flags, lrs, do_prior,
+                    sg_overlap=(do_prior and self.cur_epoch
+                                <= self.config["sg_pretraining"]))
                 timer.stop(sync_on=out if sync_each else None)
                 outs.append(out)
                 n_iter += 1

@@ -155,3 +155,39 @@ def test_skip_nonfinite_guard():
     # without the guard the NaN propagates (documenting the default)
     p3, _ = adam_update(bad, state, params, 0.1)
     assert np.isnan(np.asarray(p3["w"])).any()
+
+
+def test_single_pass_sg_overlap_epoch_trains_prior():
+    """At the sg/prior overlap epoch (use_sg=True, do_prior=True) the prior
+    group must still receive loss_prior gradients in single-pass mode."""
+    cfg, model, state, batch, gm, flags, lrs = _setup(fused_train_step=2)
+    step = make_train_step(model, jit=False)
+    overlap_flags = {"use_sg_prior": jnp.asarray(True),
+                     "use_mask": jnp.asarray(False)}
+    before = np.concatenate([np.asarray(x).ravel() for x in
+                             jax.tree.leaves(state["params"]["prior"])])
+    new_state, out = step(state, batch, jax.random.PRNGKey(0), gm,
+                          overlap_flags, lrs, True, sg_overlap=True)
+    after = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(new_state["params"]["prior"])])
+    assert not np.allclose(before, after), "prior params did not update"
+    # and the crossEntropy used for the ae update was the sg one
+    np.testing.assert_allclose(float(out["ae"]["crossEntropy_prior"]),
+                               float(out["ae"]["crossEntropy_prior_sg"]),
+                               rtol=1e-6)
+
+
+def test_single_pass_without_overlap_flag_misses_prior():
+    """Documents the hazard the overlap flag fixes: with use_sg=True and
+    sg_overlap=False, the single backward carries no prior gradient."""
+    cfg, model, state, batch, gm, flags, lrs = _setup(fused_train_step=2)
+    step = make_train_step(model, jit=False)
+    overlap_flags = {"use_sg_prior": jnp.asarray(True),
+                     "use_mask": jnp.asarray(False)}
+    before = np.concatenate([np.asarray(x).ravel() for x in
+                             jax.tree.leaves(state["params"]["prior"])])
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0), gm,
+                        overlap_flags, lrs, True, sg_overlap=False)
+    after = np.concatenate([np.asarray(x).ravel() for x in
+                            jax.tree.leaves(new_state["params"]["prior"])])
+    np.testing.assert_allclose(before, after)

@@ -449,8 +449,9 @@ class JointTrainer:
         if method == "vampPrior":
             pseudo = self.model.pseudo_inputs(self.state["params"])
             mean, std = self.fwd["encode"](self.state["params"], pseudo)
-            k = jax.random.randint(rng, (n,), 0, cfg["n_mixtures"])
-            eps = jax.random.normal(rng, (n, cfg["code_size"]))
+            rng_k, rng_eps = jax.random.split(rng)
+            k = jax.random.randint(rng_k, (n,), 0, cfg["n_mixtures"])
+            eps = jax.random.normal(rng_eps, (n, cfg["code_size"]))
             return mean[k] + std[k] * eps
         raise ValueError(method)
 

@@ -16,6 +16,16 @@ import jax  # noqa: E402
 # 8-virtual-device mesh is what tests see.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeated suite runs skip recompiling the
+# e2e train steps (the dominant cost of the suite).
+_cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            "/tmp/ladder_tpu_jax_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

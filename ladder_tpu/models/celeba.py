@@ -81,8 +81,11 @@ class CelebADecoder(nn.Module):
         def in_style(x, num):
             """instance_norm -> style_mod(num) -> leaky_relu."""
             if self.use_pallas:
-                return StyleMod(name=f"style_mod_{num}", dtype=dt,
-                                fuse_norm_lrelu=True)(x, dlatent)
+                from ladder_tpu.ops.pallas_kernels import vmem_fits
+                if vmem_fits(x.shape[1], x.shape[2], x.shape[3],
+                             dtype=x.dtype):
+                    return StyleMod(name=f"style_mod_{num}", dtype=dt,
+                                    fuse_norm_lrelu=True)(x, dlatent)
             x = instance_norm(x)
             return leaky_relu(
                 StyleMod(name=f"style_mod_{num}", dtype=dt)(x, dlatent))

@@ -2,7 +2,6 @@
 sklearn, DP pruning behaviour (base.py:681-789 semantics)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

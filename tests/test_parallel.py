@@ -10,7 +10,7 @@ import jax.numpy as jnp
 
 from ladder_tpu.models.builder import make_model
 from ladder_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from ladder_tpu.training.losses import compute_loss, identity_gm
+from ladder_tpu.training.losses import compute_loss
 from ladder_tpu.training.step import init_state, make_train_step
 from tests.conftest import make_config
 

@@ -7,7 +7,7 @@ import pytest
 
 tf = pytest.importorskip("tensorflow")
 
-import jax  # noqa: E402
+
 import jax.numpy as jnp  # noqa: E402
 
 from ladder_tpu.data.tfrecord import (  # noqa: E402

@@ -2,7 +2,6 @@
 each prior mode; loss decreases, artifacts produced, checkpoints round-trip
 (SURVEY.md §4 integration-test strategy)."""
 
-import json
 import os
 
 import numpy as np

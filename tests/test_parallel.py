@@ -121,3 +121,13 @@ def test_trainer_with_mesh_e2e(mesh, tmp_path, monkeypatch):
     assert len(trainer.metrics.train_loss) == 256 // 64
     assert np.all(np.isfinite(trainer.metrics.train_loss))
     assert trainer.gm_fast is not None
+
+
+def test_global_batch_from_local_single_process(mesh):
+    from ladder_tpu.parallel.mesh import global_batch_from_local
+
+    batch = np.arange(16 * 4, dtype=np.float32).reshape(16, 4)
+    x = global_batch_from_local(batch, mesh)
+    assert x.shape == (16, 4)
+    np.testing.assert_array_equal(np.asarray(x), batch)
+    assert len(x.sharding.device_set) == 8

@@ -155,6 +155,18 @@ def synthetic_mnist(n_train=6000, n_test=1000, seed=0):
     return (x_train, y_train), (x_test, y_test)
 
 
+def separate_train_and_val_set(n_samples, seed=None):
+    """Random 90/10 index split (reference BaseDataGenerator, base.py:24-29;
+    defined there but never called — provided for inventory completeness,
+    deterministic when a seed is given)."""
+    import random as _random
+    rng = _random.Random(seed)
+    n_train = int(np.floor(n_samples * 0.9))
+    idx_train = rng.sample(range(n_samples), n_train)
+    idx_val = list(set(idx_train) ^ set(range(n_samples)))
+    return idx_train, idx_val
+
+
 class DataGenerator:
     """Loads train/val sets and the fixed balanced test batch.
 

@@ -55,3 +55,13 @@ def test_epoch_batches_deterministic_and_complete():
     assert not np.array_equal(np.stack(b1), np.stack(b3))
     seen = np.concatenate([b.ravel() for b in b1])
     assert len(np.unique(seen)) == 96  # no sample repeats within an epoch
+
+
+def test_separate_train_and_val_set():
+    from ladder_tpu.data.mnist import separate_train_and_val_set
+
+    idx_train, idx_val = separate_train_and_val_set(100, seed=0)
+    assert len(idx_train) == 90
+    assert len(idx_val) == 10
+    assert set(idx_train) | set(idx_val) == set(range(100))
+    assert not set(idx_train) & set(idx_val)

@@ -59,12 +59,67 @@ _DEFAULTS = {
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
     "data_dir": None,            # local dataset directory (offline environments)
     "synthetic_data": 0,         # 1: deterministic synthetic dataset (tests/bench)
+    "num_epochs": 0,
+    "learning_rate_ae": 3e-4,
+    "sigma": 0.5,
+    "load_model": 1,
 }
+
+_EXP_DIMS = {"mnist_digit": (28, 28, 1), "mnist_fashion": (28, 28, 1),
+             "celeba": (128, 128, 3)}
 
 
 def apply_defaults(config):
     for k, v in _DEFAULTS.items():
         config.setdefault(k, v)
+    dims = _EXP_DIMS.get(config.get("exp_name"))
+    if dims is not None:
+        config.setdefault("dim_input_x", dims[0])
+        config.setdefault("dim_input_y", dims[1])
+        config.setdefault("dim_input_channel", dims[2])
+    return config
+
+
+_REQUIRED_KEYS = (
+    "exp_name", "prior", "batch_size", "code_size",
+    "num_hidden_units", "load_dir",
+)
+_VALID_PRIORS = ("standard_gaussian", "GMM", "ours", "hierarchical",
+                 "vampPrior")
+_VALID_EXPS = ("mnist_digit", "mnist_fashion", "celeba")
+
+
+def validate_config(config):
+    """Fail fast with actionable messages instead of KeyErrors deep in the
+    model build. Returns the config for chaining."""
+    missing = [k for k in _REQUIRED_KEYS if k not in config]
+    if missing:
+        raise ValueError(f"config is missing required keys: {missing}")
+    if config["prior"] not in _VALID_PRIORS:
+        raise ValueError(
+            f"unknown prior {config['prior']!r}; one of {_VALID_PRIORS}")
+    if config["exp_name"] not in _VALID_EXPS:
+        raise ValueError(
+            f"unknown exp_name {config['exp_name']!r}; one of {_VALID_EXPS}")
+    if (config["exp_name"] == "mnist_digit"
+            and config["num_hidden_units"] % 64 != 0):
+        raise ValueError(
+            "mnist_digit requires num_hidden_units divisible by 64 (the "
+            "decoder's depth_to_space pyramid ends at num_hidden_units/64 "
+            "channels)")
+    if (config["exp_name"] == "mnist_fashion"
+            and config["num_hidden_units"] % 4 != 0):
+        raise ValueError("mnist_fashion requires num_hidden_units "
+                         "divisible by 4")
+    if (config["exp_name"] == "celeba"
+            and config["num_hidden_units"] % 4 != 0):
+        raise ValueError("celeba requires num_hidden_units divisible by 4")
+    if config.get("dtype") not in (None, "float32", "bfloat16"):
+        raise ValueError(f"dtype must be float32 or bfloat16, got "
+                         f"{config['dtype']!r}")
+    if config.get("fused_train_step") not in (None, 1, 2):
+        raise ValueError("fused_train_step must be 1 (sequential) or 2 "
+                         "(single-pass)")
     return config
 
 
@@ -76,6 +131,7 @@ def process_config(json_file):
     """
     config = get_config_from_json(json_file)
     apply_defaults(config)
+    validate_config(config)
     print("The current config is:\n{}\n".format(config))
 
     save_name = "prior-{}-{}-{}-{}-{}-{}-mixture-{}".format(

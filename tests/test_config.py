@@ -71,3 +71,34 @@ def test_defaults_fill_missing_keys():
     cfg = apply_defaults({"exp_name": "x", "prior": "standard_gaussian"})
     assert cfg["TRAIN_decoded_z_std"] == 0
     assert cfg["latent_variance_precision"] == 1e-3
+
+
+def test_validate_config_catches_errors():
+    import pytest as _pytest
+
+    from ladder_tpu.utils.config import apply_defaults, validate_config
+
+    def base(**o):
+        c = {
+            "exp_name": "mnist_digit", "prior": "ours", "batch_size": 64,
+            "num_epochs": 1, "code_size": 8, "num_hidden_units": 64,
+            "dim_input_x": 28, "dim_input_y": 28, "dim_input_channel": 1,
+            "learning_rate_ae": 3e-4, "sigma": 0.5, "load_dir": "default",
+        }
+        c.update(o)
+        return apply_defaults(c)
+
+    validate_config(base())  # valid passes
+
+    with _pytest.raises(ValueError, match="missing required"):
+        c = base()
+        del c["batch_size"]
+        validate_config(c)
+    with _pytest.raises(ValueError, match="unknown prior"):
+        validate_config(base(prior="bogus"))
+    with _pytest.raises(ValueError, match="divisible by 64"):
+        validate_config(base(num_hidden_units=32))
+    with _pytest.raises(ValueError, match="dtype"):
+        validate_config(base(dtype="float16"))
+    with _pytest.raises(ValueError, match="fused_train_step"):
+        validate_config(base(fused_train_step=3))

@@ -288,6 +288,10 @@ class JointTrainer:
         self.metrics.save(cfg, self.num_para_list, self.n_train_iter(),
                           self.n_val_iter())
 
+        # per-epoch scalar summaries (the reference creates summary_dir but
+        # never writes to it, SURVEY.md §5; we log one JSON line per epoch)
+        self._write_scalar_summary()
+
         if self.plots_enabled:
             if cfg["TRAIN_VAE"] == 1:
                 plotting.plot_train_and_val_loss_vae(
@@ -517,6 +521,32 @@ class JointTrainer:
         return m
 
     # ---- bookkeeping --------------------------------------------------
+    def _write_scalar_summary(self):
+        """Append one JSON line of epoch scalars to summary_dir/scalars.jsonl
+        (timing from the step timer, losses from the metric buffers)."""
+        import json
+
+        sdir = self.config.get("summary_dir")
+        if not sdir:
+            return
+        os.makedirs(sdir, exist_ok=True)
+        rec = self.metrics
+        row = dict(
+            epoch=self.cur_epoch,
+            lr_ae=float(self.current_lr_ae()),
+            train_loss=(rec.train_loss_ave_epoch[-1]
+                        if rec.train_loss_ave_epoch else None),
+            val_loss=(rec.val_loss_ave_epoch[-1]
+                      if rec.val_loss_ave_epoch else None),
+            sigma=rec.test_sigma[-1] if rec.test_sigma else None,
+            inner_sigma=(rec.code_inner_sigma_train[-1]
+                         if rec.code_inner_sigma_train else None),
+        )
+        row.update({f"timing_{k}": v
+                    for k, v in (self._timer_summary or {}).items()})
+        with open(os.path.join(sdir, "scalars.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
     def compute_execution_time(self, cur_epoch, total_epoch):
         current = time.time()
         elapsed = (current - self.start_time) / 60

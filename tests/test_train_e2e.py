@@ -185,3 +185,17 @@ def test_orbax_checkpoint_backend(tmp_path, monkeypatch):
     for a, b in zip(jax.tree.leaves(trainer.state["params"]),
                     jax.tree.leaves(t2.state["params"])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_scalar_summaries_written(tmp_path, monkeypatch):
+    cfg, trainer = _train(tmp_path, monkeypatch, prior="standard_gaussian",
+                          summary_dir=str(tmp_path / "summary") + "/")
+    import json as _json
+    path = os.path.join(cfg["summary_dir"], "scalars.jsonl")
+    assert os.path.isfile(path)
+    rows = [_json.loads(l) for l in open(path)]
+    assert len(rows) == 2
+    assert rows[0]["epoch"] == 1
+    assert np.isfinite(rows[1]["train_loss"])
+    assert rows[1]["val_loss"] is not None
+    assert "timing_mean_ms" in rows[0]

@@ -181,8 +181,12 @@ class JointTrainer:
 
     # ---- training ----------------------------------------------------
     def train(self):
+        """Run the remaining epochs. After a full-state restore cur_epoch is
+        the last completed epoch (base.py:848-860 saves per epoch), so a
+        resume trains exactly num_epochs - cur_epoch more epochs — the total
+        across crash+resume equals num_epochs."""
         self.start_time = time.time()
-        for _ in range(self.config["num_epochs"]):
+        for _ in range(max(0, self.config["num_epochs"] - self.cur_epoch)):
             self.train_epoch()
             if self.prior in PRIORS_WITH_PRIOR_MODEL:
                 self.ckpt.save(self.state, model="joint")
@@ -355,10 +359,15 @@ class JointTrainer:
                 self._warm = model_obj
                 self.gm_fast = (fit.weights, fit.means, fit.covariances)
             else:
+                # reference n_init: GM_fit_restart for the t-space DP fit
+                # (base.py:743) but hardcoded 1 for the z-space ML fit
+                # (base.py:762-767)
                 kind = ("dirichlet_process" if self.prior == "ours" else "ml")
+                n_init = (cfg["GM_fit_restart"] if self.prior == "ours"
+                          else 1)
                 fit, _ = sklearn_fit(samples_np, cfg["n_mixtures"],
                                      mode="accurate", space_prior=kind,
-                                     n_init=cfg["GM_fit_restart"])
+                                     n_init=n_init)
                 self.gm_final = (fit.weights, fit.means, fit.covariances)
         else:
             if mode == "fast":
@@ -388,10 +397,21 @@ class JointTrainer:
                     fit = fit_em(self._next_rng(), samples,
                                  cfg["n_mixtures"], max_iter=2000)
                 self.gm_final = (fit.weights, fit.means, fit.covariances)
-                save_gm_prior_info(cfg["result_dir"], *self.gm_final)
-                print("Final fitted prior saved.")
         which = self.gm_fast if mode == "fast" else self.gm_final
+        if mode == "accurate":
+            # both backends persist the accurate fit unconditionally, in the
+            # reference's order: npz save -> active report -> final print
+            # (base.py:769-789)
+            save_gm_prior_info(cfg["result_dir"], *self.gm_final)
         self._report_active(which[0])
+        if mode == "accurate":
+            print("Final fitted prior saved.")
+        # per-epoch record of the fitted GM (the reference declares these
+        # buffers, base.py:568-570; it never writes them — we populate them
+        # so post-hoc analysis can track the prior's evolution)
+        self.metrics.gmm_weight.append(np.asarray(which[0]))
+        self.metrics.gmm_mean.append(np.asarray(which[1]))
+        self.metrics.gmm_cov.append(np.asarray(which[2]))
         return samples
 
     def _resp_from_prev(self, samples):
@@ -555,9 +575,16 @@ class JointTrainer:
         print("Remaining {} min.\n".format(est / 60 - elapsed))
 
     def save_full_state(self):
+        from ladder_tpu.utils.metrics import BUFFER_NAMES
         extra = dict(
             cur_epoch=np.asarray(self.cur_epoch),
             rng=np.asarray(self.rng),
+            # metric buffers ride along so a crash-resume's {exp}-result.npz
+            # curves concatenate seamlessly with the pre-crash epochs (the
+            # reference loses them on restart, base.py:531-570)
+            metrics={name: np.asarray(getattr(self.metrics, name))
+                     for name in BUFFER_NAMES
+                     if len(getattr(self.metrics, name))},
         )
         if self.gm_fast is not None:
             extra.update(gm_fast_w=np.asarray(self.gm_fast[0]),
@@ -585,6 +612,10 @@ class JointTrainer:
                 self.gm_final = (jnp.asarray(extra["gm_final_w"]),
                                  jnp.asarray(extra["gm_final_m"]),
                                  jnp.asarray(extra["gm_final_K"]))
+            for name, arr in (extra.get("metrics") or {}).items():
+                arr = np.asarray(arr)
+                vals = arr.tolist() if arr.ndim <= 1 else list(arr)
+                setattr(self.metrics, name, vals)
             print("Full train state restored (epoch {}).".format(
                 self.cur_epoch))
             return

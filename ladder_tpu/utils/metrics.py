@@ -27,7 +27,14 @@ BUFFER_NAMES = [
     "code_recons_error_train", "code_recons_error_val",
     "code_recons_likelihood_train", "code_inner_sigma_train",
     "iter_epochs_list", "test_batch_code_mean", "test_batch_code_std_dev",
-    "test_sigma", "sigma_train", "classifier_accuracy",
+    "test_sigma", "sigma_train",
+    # classifier_accuracy is declared by the reference (base.py:565) but
+    # never written anywhere in it — kept for buffer-name parity only.
+    "classifier_accuracy",
+    # the reference declares gmm_* (base.py:568-570) and also never writes
+    # them; we populate them once per GM fit (trainer.fit_GMM_VI) so the
+    # prior's evolution is inspectable. They are not part of the
+    # {exp}-result.npz key set (base.py:791-823) and stay out of save().
     "gmm_mean", "gmm_cov", "gmm_weight",
 ]
 

@@ -124,3 +124,92 @@ def test_fit_bgmm_restarts_picks_best():
     fit, _ = fit_bgmm_restarts(jax.random.PRNGKey(0), jnp.asarray(x), 6,
                                n_init=2, dirichlet_process=True)
     assert np.isfinite(float(fit.lower_bound))
+
+
+def _mixture_mean_loglik(weights, means, covs, x):
+    """Average log density of x under the fitted mixture (full-cov)."""
+    from ladder_tpu.ops.distributions import gmm_cholesky, gmm_logpdf
+    w = jnp.asarray(weights)
+    lp = gmm_logpdf(jnp.asarray(x), w / w.sum(), jnp.asarray(means),
+                    gmm_cholesky(jnp.asarray(covs)))
+    return float(jnp.mean(lp))
+
+
+def test_dp_bgmm_distributional_equivalence_vs_sklearn():
+    """VERDICT r1 item 6: the on-device DP-BGMM (the default accurate-fit
+    path) and sklearn's BayesianGaussianMixture(dirichlet_process) agree on
+    active-component count and held-out mixture log-likelihood when fit on
+    the same sample set (reference accurate fit, base.py:739-766)."""
+    from sklearn.mixture import BayesianGaussianMixture
+    x, _ = three_blob_data(n_per=400, seed=8)
+    x_heldout, _ = three_blob_data(n_per=100, seed=9)
+
+    fit, _ = fit_bgmm(jax.random.PRNGKey(0), jnp.asarray(x), 10,
+                      weight_concentration_prior=0.1,
+                      dirichlet_process=True, max_iter=2000)
+    sk = BayesianGaussianMixture(
+        n_components=10, covariance_type="full", max_iter=2000,
+        weight_concentration_prior_type="dirichlet_process",
+        weight_concentration_prior=0.1, random_state=0).fit(x)
+
+    ours_active = int((np.asarray(fit.weights) >= 1e-2).sum())
+    sk_active = int((sk.weights_ >= 1e-2).sum())
+    assert abs(ours_active - sk_active) <= 1
+
+    ll_ours = _mixture_mean_loglik(fit.weights, fit.means, fit.covariances,
+                                   x_heldout)
+    ll_sk = float(sk.score(x_heldout))
+    assert abs(ll_ours - ll_sk) < 0.1, (ll_ours, ll_sk)
+
+
+def test_sklearn_backend_n_init_parity(monkeypatch, tmp_path):
+    """VERDICT r1 item 5: the sklearn parity backend passes the reference's
+    exact n_init — GM_fit_restart for the t-space DP fit (base.py:743) but
+    hardcoded 1 for the z-space accurate ML fit (base.py:762-767)."""
+    import ladder_tpu.training.trainer as trainer_mod
+    from tests.conftest import make_config
+
+    calls = []
+    real = trainer_mod.sklearn_fit
+
+    def spy(x, k, **kw):
+        calls.append(kw)
+        return real(x, k, **kw)
+
+    monkeypatch.setattr(trainer_mod, "sklearn_fit", spy)
+
+    for prior, want_n_init in (("ours", 3), ("GMM", 1)):
+        cfg = make_config(prior=prior, gmm_backend="sklearn",
+                          GM_fit_restart=3, n_mixtures=4,
+                          representation_size=2, code_size=2,
+                          num_epochs=1, enable_plots=0)
+        cfg["result_dir"] = str(tmp_path / prior) + "/"
+        import os
+        os.makedirs(cfg["result_dir"], exist_ok=True)
+        t = trainer_mod.JointTrainer.__new__(trainer_mod.JointTrainer)
+        t.config = cfg
+        t.prior = prior
+        t.plots_enabled = False
+        t.cur_epoch = 1
+        t.gm_fast = None
+        t.gm_final = None
+        t._warm = None
+        t.rng = jax.random.PRNGKey(0)
+        t.metrics = __import__(
+            "ladder_tpu.utils.metrics", fromlist=["MetricsRecorder"]
+        ).MetricsRecorder()
+        rngs = np.random.default_rng(0)
+        samples = jnp.asarray(
+            rngs.standard_normal((2048, 2)).astype(np.float32))
+        monkeypatch.setattr(
+            t, "_collect_samples", lambda n, s, _x=samples: _x[:n],
+            raising=False)
+        calls.clear()
+        t.fit_GMM_VI(mode="accurate",
+                     space="t" if prior == "ours" else "z")
+        assert calls and calls[-1]["n_init"] == want_n_init, (prior, calls)
+        # the accurate fit persists GM_prior_info.npz on this backend too
+        # (reference writes it unconditionally, base.py:769-777)
+        import os.path
+        assert os.path.isfile(os.path.join(cfg["result_dir"],
+                                           "GM_prior_info.npz"))

@@ -63,8 +63,10 @@ class LadderModel:
         elif exp == "celeba":
             self.encoder = CelebAEncoder(h, cfg["code_size"], cfg["kernel_size"],
                                          lvp, dtype=dt)
-            self.decoder = CelebADecoder(h, dtype=dt,
-                                         use_pallas=bool(cfg.get("use_pallas", 0)))
+            self.decoder = CelebADecoder(
+                h, dtype=dt,
+                use_pallas=bool(cfg.get("use_pallas", 0)),
+                fuse_upsample=bool(cfg.get("fuse_upsample_conv", 1)))
         else:
             raise ValueError(f"unknown exp_name: {exp}")
 

@@ -26,8 +26,13 @@ from ladder_tpu.models.layers import (
     Dense,
     StyleMod,
     leaky_relu,
+    xavier,
 )
-from ladder_tpu.ops.image import instance_norm, resize_bilinear_tf1
+from ladder_tpu.ops.image import (
+    conv3x3_up2x_tf1,
+    instance_norm,
+    resize_bilinear_tf1,
+)
 
 
 class CelebAEncoder(nn.Module):
@@ -60,16 +65,43 @@ class CelebAEncoder(nn.Module):
         return mean, std + self.latent_variance_precision
 
 
+class UpConvTF1(nn.Module):
+    """Fused [TF1 bilinear 2x upsample -> SAME 3x3 conv] as one lhs-dilated
+    convolution (ops/image.py:conv3x3_up2x_tf1). Parameter names and shapes
+    ('kernel' [3,3,ci,co], 'bias' [co]) are identical to nn.Conv, so
+    checkpoints are interchangeable with the explicit resize+Conv path."""
+
+    features: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x):
+        ci = x.shape[-1]
+        kernel = self.param("kernel", xavier, (3, 3, ci, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        dt = self.dtype or x.dtype
+        return conv3x3_up2x_tf1(x.astype(dt), kernel.astype(dt),
+                                bias.astype(dt))
+
+
 class CelebADecoder(nn.Module):
     """models.py:499-587. [B, code_size] -> [B,128,128,3] (unclipped).
 
     use_pallas=True routes each instance_norm -> style_mod -> leaky chain
     through the fused Pallas kernel (one VMEM pass instead of 3+ HBM passes;
-    identical math and parameters)."""
+    identical math and parameters).
+
+    fuse_upsample=True (default) computes each [2x resize -> 3x3 conv] pair
+    as one lhs-dilated conv (exact same math; the full-resolution upsample
+    intermediate never exists — measured -29% fwd+bwd on the 64->128 stage,
+    v5e). Conv names are pinned so both paths share checkpoints."""
 
     num_hidden_units: int
     dtype: Any = None
     use_pallas: bool = False
+    fuse_upsample: bool = True
 
     @nn.compact
     def __call__(self, z):
@@ -90,6 +122,13 @@ class CelebADecoder(nn.Module):
             return leaky_relu(
                 StyleMod(name=f"style_mod_{num}", dtype=dt)(x, dlatent))
 
+        def up_conv(x, feats, name):
+            """[2x TF1 bilinear resize -> SAME 3x3 conv]."""
+            if self.fuse_upsample:
+                return UpConvTF1(feats, dtype=dt, name=name)(x)
+            x = resize_bilinear_tf1(x, 2 * x.shape[1], 2 * x.shape[2])
+            return Conv(feats, 3, name=name, dtype=dt)(x)
+
         # 8-layer dlatent mapping network (models.py:505-510)
         dlatent = encoded
         for i in range(8):
@@ -97,24 +136,20 @@ class CelebADecoder(nn.Module):
 
         # decoded_1: 1x1 conv on the reshaped code, resize to 2x2
         x = encoded.reshape(-1, 1, 1, h)
-        x = Conv(h, 1, dtype=dt)(x)
+        x = Conv(h, 1, name="Conv_0", dtype=dt)(x)
         x = resize_bilinear_tf1(x, 2, 2)
         # decoded_2: 2x2, instance_norm + style mod 0
-        x = in_style(Conv(h, 3, dtype=dt)(x), 0)
+        x = in_style(Conv(h, 3, name="Conv_1", dtype=dt)(x), 0)
         # decoded_3: -> 8 -> conv -> 16
-        x = in_style(Conv(h, 3, dtype=dt)(x), 1)
+        x = in_style(Conv(h, 3, name="Conv_2", dtype=dt)(x), 1)
         x = resize_bilinear_tf1(x, 8, 8)
-        x = leaky_relu(Conv(h, 3, dtype=dt)(x))
-        x = resize_bilinear_tf1(x, 16, 16)
+        x = leaky_relu(Conv(h, 3, name="Conv_3", dtype=dt)(x))
         # decoded_4: -> 32 -> conv -> 64
-        x = in_style(Conv(h // 2, 3, dtype=dt)(x), 2)
-        x = resize_bilinear_tf1(x, 32, 32)
-        x = leaky_relu(Conv(h // 2, 3, dtype=dt)(x))
-        x = resize_bilinear_tf1(x, 64, 64)
+        x = in_style(up_conv(x, h // 2, "Conv_4"), 2)
+        x = leaky_relu(up_conv(x, h // 2, "Conv_5"))
         # decoded_5: -> 128 -> conv
-        x = in_style(Conv(h // 4, 3, dtype=dt)(x), 3)
-        x = resize_bilinear_tf1(x, 128, 128)
-        x = leaky_relu(Conv(h // 4, 3, dtype=dt)(x))
+        x = in_style(up_conv(x, h // 4, "Conv_6"), 3)
+        x = leaky_relu(up_conv(x, h // 4, "Conv_7"))
         # decoded_6: 1x1 conv to 3 channels, linear (fp32 output)
-        x = Conv(3, 1, dtype=dt)(x)
+        x = Conv(3, 1, name="Conv_8", dtype=dt)(x)
         return x.astype(jnp.float32)

@@ -57,6 +57,8 @@ _DEFAULTS = {
     "dtype": "float32",          # compute dtype for conv/dense stacks
     "fused_train_step": 1,       # 1: one jitted step for all optimiser groups
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
+    "fuse_upsample_conv": 1,     # CelebA decoder: fold 2x resizes into convs
+                                 # (identical math; see ops/image.py)
     "data_dir": None,            # local dataset directory (offline environments)
     "synthetic_data": 0,         # 1: deterministic synthetic dataset (tests/bench)
     "num_epochs": 0,

@@ -31,6 +31,9 @@ def main():
                          "prefetch instead of device-resident data")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--steps-per-call", type=int, default=10,
+                    help="K>1: run K steps per dispatch via lax.scan "
+                         "(amortises host dispatch latency)")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")
@@ -119,18 +122,33 @@ def main():
         batch = shard_batch(batch_host, mesh)
     else:
         batch = jnp.asarray(batch_host)
-    # warmup (compile)
-    for i in range(args.warmup):
-        rng, r = jax.random.split(rng)
-        state, out = step(state, batch, r, gm, flags, lrs, True)
-    jax.block_until_ready(state)
+    # the step folds its counter into the rng, so one base key serves the
+    # whole run — no per-step host split dispatch
+    if args.steps_per_call > 1:
+        from ladder_tpu.training.step import make_train_multi_step
+        multi = make_train_multi_step(model)
+        stack = jnp.broadcast_to(batch, (args.steps_per_call,) + batch.shape)
+        n_calls = max(1, args.steps // args.steps_per_call)
+        args.steps = n_calls * args.steps_per_call
+        state, outs = multi(state, stack, rng, gm, flags, lrs, True)
+        jax.block_until_ready(state)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            state, outs = multi(state, stack, rng, gm, flags, lrs, True)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
+        out = jax.tree.map(lambda a: a[-1], outs)
+    else:
+        # warmup (compile)
+        for i in range(args.warmup):
+            state, out = step(state, batch, rng, gm, flags, lrs, True)
+        jax.block_until_ready(state)
 
-    t0 = time.perf_counter()
-    for i in range(args.steps):
-        rng, r = jax.random.split(rng)
-        state, out = step(state, batch, r, gm, flags, lrs, True)
-    jax.block_until_ready(state)
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, out = step(state, batch, rng, gm, flags, lrs, True)
+        jax.block_until_ready(state)
+        dt = time.perf_counter() - t0
 
     images_per_sec = args.steps * args.batch / dt
     per_chip = images_per_sec / n_chips
@@ -158,9 +176,8 @@ def run_steps(step, state, batches, rng, gm, flags, lrs, args, n_chips,
     n = 0
     t0 = None
     for i, b in enumerate(batches):
-        rng, r = jax.random.split(rng)
         state, out = step(state, b if isinstance(b, jax.Array)
-                          else jnp.asarray(b), r, gm, flags, lrs, True)
+                          else jnp.asarray(b), rng, gm, flags, lrs, True)
         if i == args.warmup - 1:
             jax.block_until_ready(state)
             t0 = _t.perf_counter()

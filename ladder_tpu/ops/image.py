@@ -225,11 +225,28 @@ def _upconv_core_bwd(res, yb):
     h, w = x.shape[1], x.shape[2]
     dtype = x.dtype
 
-    # main term
-    _, vjp_main = jax.vjp(
-        lambda x_, k5_: _dilated_conv(x_, k5_, 2, 2, dtype),
-        x, _compose_kernel_5(k))
-    dx, dk5 = vjp_main(yb)
+    # main term — dgrad written directly as a stride-2 conv of the cotangent
+    # with the flipped kernel. jax's autodiff of the asymmetrically-padded
+    # lhs-dilated conv lowers with a full-tensor spatial reverse of the
+    # cotangent (~1 ms/step at the 128^2 stage on v5e); this form avoids it:
+    #   x̄[q] = Σ_j K5[j] · ȳ[2q+2-j]
+    k5 = _compose_kernel_5(k)
+    k5t = jnp.flip(k5, axis=(0, 1)).swapaxes(2, 3)           # [5,5,co,ci]
+    dx = jax.lax.conv_general_dilated(
+        yb, k5t, (2, 2), [(2, 2), (2, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=dtype)
+    # wgrad, also hand-written: jax's vjp lowers it with a full spatial
+    # reverse of the cotangent (reverse.5 in the v5e profile, ~0.8 ms at the
+    # 128^2 stage). In flipped index form it is a plain correlation,
+    #   dK5_flipped[u] = Σ_q ȳ_pad[2q+u] · x[q],  ȳ_pad = pad(ȳ, (2,1)),
+    # expressible with wgrad dimension numbers (batch contracted, channels
+    # as batch/feature) and only a 5x5 kernel-sized flip at the end.
+    dk5f = jax.lax.conv_general_dilated(
+        yb, x, (1, 1), [(2, 1), (2, 1)], rhs_dilation=(2, 2),
+        dimension_numbers=("CHWN", "IHWO", "HWCN"),
+        preferred_element_type=dtype)
+    dk5 = jnp.flip(dk5f, axis=(0, 1))
     dk = _decompose_kernel_5_T(dk5)
 
     # row corrections: term = coef * place_row_p(conv1d(x[src], K(k[a])))

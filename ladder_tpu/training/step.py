@@ -122,6 +122,11 @@ def make_train_step(model, jit=True):
         # sg_overlap is only meaningful for the single-pass mode; the
         # sequential sub-steps differentiate loss_prior directly.
         del sg_overlap
+        # Derive the per-step stream on device from the step counter, so
+        # callers pass one base rng per epoch instead of dispatching a
+        # host-side split program every step (dispatch latency dominates on
+        # tunneled/remote devices).
+        rng = jax.random.fold_in(rng, state["step"])
         params = state["params"]
         opt = dict(state["opt"])
         rngs = jax.random.split(rng, 5)
@@ -198,6 +203,7 @@ def _make_single_pass_step(model, jit=True):
         loss_ae's cross-entropy is ce_sg — the single backward of loss_ae
         carries no elbo_prior gradient — so the prior groups take a second,
         explicit backward of loss_prior for that one epoch."""
+        rng = jax.random.fold_in(rng, state["step"])  # see sequential mode
         params = state["params"]
         opt = dict(state["opt"])
         names = active_groups(do_prior)
@@ -265,6 +271,34 @@ def _make_single_pass_step(model, jit=True):
                        static_argnames=("do_prior", "sg_overlap"),
                        donate_argnums=(0,))
     return train_step
+
+
+def make_train_multi_step(model, jit=True):
+    """K fused train steps in ONE dispatch: lax.scan over a [K, B, ...]
+    batch stack. Amortises host->device dispatch latency (measured ~1.4 ms
+    per dispatch over a tunneled v5e; zero-cost on local hardware) and lets
+    XLA pipeline consecutive steps. Semantics are identical to calling the
+    single step K times: the per-step rng stream comes from
+    fold_in(rng, state.step), which increments inside the scan.
+
+    Returned metrics pytrees carry a leading K axis.
+    """
+    inner = make_train_step(model, jit=False)
+
+    def multi_step(state, batches, rng, gm, flags, lrs, do_prior,
+                   sg_overlap=False):
+        def body(carry, batch):
+            new_state, out = inner(carry, batch, rng, gm, flags, lrs,
+                                   do_prior, sg_overlap=sg_overlap)
+            return new_state, out
+
+        return jax.lax.scan(body, state, batches)
+
+    if jit:
+        return jax.jit(multi_step,
+                       static_argnames=("do_prior", "sg_overlap"),
+                       donate_argnums=(0,))
+    return multi_step
 
 
 def make_eval_step(model, jit=True):

@@ -218,11 +218,14 @@ class JointTrainer:
         # at epoch end. sync_each_step=1 restores per-step timing fidelity.
         sync_each = bool(cfg.get("sync_each_step", 0))
         outs = []
+        # one base key per epoch; the jitted step folds its counter in, so
+        # there is no per-step host split dispatch
+        epoch_rng = self._next_rng()
         with trace(profile_dir):
             for batch in self.train_batches():
                 timer.start()
                 self.state, out = self.train_step(
-                    self.state, self._place(batch), self._next_rng(), gm,
+                    self.state, self._place(batch), epoch_rng, gm,
                     flags, lrs, do_prior,
                     sg_overlap=(do_prior and self.cur_epoch
                                 <= self.config["sg_pretraining"]))

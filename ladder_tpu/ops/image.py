@@ -130,12 +130,12 @@ _UP1D = (0.5, 1.0, 0.5)
 
 def _compose_kernel_5(w):
     """K5 = up2d (full) correlation with w: [3,3,ci,co] -> [5,5,ci,co]."""
-    import numpy as np
-    up2d = np.outer(_UP1D, _UP1D).astype(np.float32)
     k5 = jnp.zeros((5, 5) + w.shape[2:], w.dtype)
     for da in range(3):
         for db in range(3):
-            k5 = k5.at[da:da + 3, db:db + 3].add(w * up2d[da, db])
+            # python-float weight keeps the accumulation in w.dtype
+            k5 = k5.at[da:da + 3, db:db + 3].add(
+                w * (_UP1D[da] * _UP1D[db]))
     return k5
 
 
@@ -162,12 +162,10 @@ def _dilated_conv(x, k, dil_h, dil_w, dtype):
 
 def _decompose_kernel_5_T(dk5):
     """Adjoint of _compose_kernel_5: [5,5,ci,co] -> [3,3,ci,co]."""
-    import numpy as np
-    up2d = np.outer(_UP1D, _UP1D).astype(np.float32)
     dk = None
     for da in range(3):
         for db in range(3):
-            t = dk5[da:da + 3, db:db + 3] * up2d[da, db]
+            t = dk5[da:da + 3, db:db + 3] * (_UP1D[da] * _UP1D[db])
             dk = t if dk is None else dk + t
     return dk
 

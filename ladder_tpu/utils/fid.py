@@ -99,11 +99,54 @@ def inception_feature_fn(pooling="avg"):
             "provide weights on disk. Underlying error: {}".format(e))
 
 
+def vgg16_feature_fn(pooling="avg"):
+    """VGG16 conv-feature extractor matching the reference's
+    keras.applications.vgg16.VGG16(include_top=False, pooling=...) option
+    (/root/reference/codes/utils.py:183-194): the five conv blocks
+    (ending in block5_pool) followed by a global avg/max pool -> [N,512].
+    Uses torchvision weights when cached locally; clear error otherwise."""
+    try:
+        import torch
+        from torchvision.models import VGG16_Weights, vgg16
+
+        net = vgg16(weights=VGG16_Weights.IMAGENET1K_V1)
+        features = net.features  # conv blocks incl. final MaxPool2d
+        features.eval()
+
+        def feature_fn(images):
+            with torch.no_grad():
+                x = torch.from_numpy(
+                    np.transpose(images, (0, 3, 1, 2)).astype(np.float32))
+                f = features(x)                       # [N,512,h,w]
+                if pooling == "avg":
+                    f = f.mean(dim=(2, 3))
+                elif pooling == "max":
+                    f = f.amax(dim=(2, 3))
+                else:
+                    raise ValueError(pooling)
+                return f.numpy()
+
+        return feature_fn
+    except Exception as e:
+        raise RuntimeError(
+            "No pretrained VGG16 available locally (torchvision missing or "
+            "weights not cached; this environment has no network egress). "
+            "Pass a custom feature_fn to compute_FID_score, or provide "
+            "weights on disk. Underlying error: {}".format(e))
+
+
 def compute_FID_score(data_file1, data_file2, feature_fn=None,
                       second_set="generated", key="sampled_images",
-                      resize_to=64, feature_size=140):
+                      resize_to=64, feature_size=140,
+                      network="inception", pooling="avg"):
     """Reference-compatible entry (utils.py:141-200): load two npz image
-    sets, preprocess, resize, extract features, return FID."""
+    sets, preprocess, resize, extract features, return FID.
+
+    network="inception": resize to 64 then 140, InceptionV3 features
+    (utils.py:164-181). network="VGG": the 64x64 sets feed VGG16 directly
+    (the reference declares input_shape 128 but predicts on the 64x64
+    tensors — include_top=False VGG is fully convolutional, utils.py:
+    183-194). An explicit feature_fn overrides both."""
     d1 = np.load(data_file1)[key].astype(np.float32)
     d2 = np.load(data_file2)[key].astype(np.float32)
     d1 = preprocess_input_original(d1)
@@ -112,9 +155,14 @@ def compute_FID_score(data_file1, data_file2, feature_fn=None,
     d1 = resize_images_np(d1, resize_to)
     d2 = resize_images_np(d2, resize_to)
     if feature_fn is None:
-        feature_fn = inception_feature_fn()
-        d1 = resize_images_np(d1, feature_size)
-        d2 = resize_images_np(d2, feature_size)
+        if network == "inception":
+            feature_fn = inception_feature_fn(pooling)
+            d1 = resize_images_np(d1, feature_size)
+            d2 = resize_images_np(d2, feature_size)
+        elif network == "VGG":
+            feature_fn = vgg16_feature_fn(pooling)
+        else:
+            raise ValueError(f"unknown FID network: {network!r}")
     act1 = feature_fn(d1)
     act2 = feature_fn(d2)
     score = fid_from_activations(act1, act2)

@@ -69,3 +69,52 @@ def test_compute_fid_score_with_stub_extractor(tmp_path):
 
     score = compute_FID_score(f1, f2, feature_fn=feature_fn)
     assert np.isfinite(score) and score >= 0
+
+
+def test_vgg_network_path_no_second_resize(tmp_path):
+    """network='VGG' feeds the 64x64 preprocessed sets straight to the
+    extractor (reference utils.py:183-194 — no 140x140 resize), while
+    'inception' resizes to feature_size first."""
+    rng = np.random.default_rng(3)
+    imgs = rng.integers(0, 256, (16, 32, 32, 3)).astype(np.float32)
+    f1 = tmp_path / "a.npz"
+    f2 = tmp_path / "b.npz"
+    np.savez(f1, sampled_images=imgs)
+    np.savez(f2, sampled_images=imgs / 255.0)
+
+    seen = []
+
+    def stub(images):
+        seen.append(images.shape)
+        return images.reshape(images.shape[0], -1)[:, :8]
+
+    import ladder_tpu.utils.fid as fid_mod
+    orig_incep = fid_mod.inception_feature_fn
+    orig_vgg = fid_mod.vgg16_feature_fn
+    fid_mod.inception_feature_fn = lambda pooling="avg": stub
+    fid_mod.vgg16_feature_fn = lambda pooling="avg": stub
+    try:
+        compute_FID_score(str(f1), str(f2), network="VGG", resize_to=16)
+        assert seen[-1] == (16, 16, 16, 3)
+        seen.clear()
+        compute_FID_score(str(f1), str(f2), network="inception",
+                          resize_to=16, feature_size=24)
+        assert seen[-1] == (16, 24, 24, 3)
+    finally:
+        fid_mod.inception_feature_fn = orig_incep
+        fid_mod.vgg16_feature_fn = orig_vgg
+
+
+def test_vgg_feature_fn_error_or_features():
+    """vgg16_feature_fn either produces [N,512] pooled features (weights
+    cached locally) or raises the documented RuntimeError (no egress)."""
+    from ladder_tpu.utils.fid import vgg16_feature_fn
+    import pytest
+
+    try:
+        fn = vgg16_feature_fn()
+    except RuntimeError as e:
+        assert "VGG16" in str(e)
+        return
+    out = fn(np.zeros((2, 64, 64, 3), np.float32))
+    assert out.shape == (2, 512)

@@ -64,3 +64,97 @@ def test_prepare_celeba_script(tmp_path, monkeypatch):
     r2 = ImageRecordReader(str(out_dir / "celebA_test.tfrecords"), (16, 16, 3))
     assert len(r2) == 1
     r2.close()
+
+
+def _load_script(name):
+    import importlib.util
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", name)
+    spec = importlib.util.spec_from_file_location(name[:-3], path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+def test_verify_real_data_check(tmp_path, monkeypatch):
+    """Layout check: actionable failure on empty dir, OK with keras-npz
+    mnist and with celebA tfrecords."""
+    mod = _load_script("verify_real_data.py")
+    import argparse
+    cfg_path = tmp_path / "cfg.json"
+    from tests.conftest import make_config
+    cfg = make_config(prior="standard_gaussian")
+    base = {k: v for k, v in cfg.items()
+            if isinstance(v, (int, float, str)) and k not in
+            ("result_dir", "checkpoint_dir")}
+    json.dump(base, open(cfg_path, "w"))
+    monkeypatch.chdir(tmp_path)
+
+    ns = argparse.Namespace(config=str(cfg_path),
+                            data_dir=str(tmp_path / "nodata"))
+    assert mod.check(ns) == 1
+
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "mnist.npz",
+             x_train=rng.integers(0, 255, (12000, 28, 28), dtype=np.uint8),
+             y_train=np.tile(np.arange(10), 1200).astype(np.uint8),
+             x_test=rng.integers(0, 255, (2000, 28, 28), dtype=np.uint8),
+             y_test=np.tile(np.arange(10), 200).astype(np.uint8))
+    ns = argparse.Namespace(config=str(cfg_path), data_dir=str(tmp_path))
+    assert mod.check(ns) == 0
+
+    # celeba layout
+    base2 = dict(base, exp_name="celeba", dim_input_x=128, dim_input_y=128,
+                 dim_input_channel=3)
+    cfg2_path = tmp_path / "cfg2.json"
+    json.dump(base2, open(cfg2_path, "w"))
+    from ladder_tpu.data.celeba import ensure_synthetic_tfrecords
+    ddir = str(tmp_path / "celeba") + "/"
+    ensure_synthetic_tfrecords(ddir, n_train=8, n_val=4, n_test=4)
+    ns = argparse.Namespace(config=str(cfg2_path), data_dir=ddir)
+    assert mod.check(ns) == 0
+    os.remove(os.path.join(ddir, "celebA_val.tfrecords"))
+    assert mod.check(ns) == 1
+
+
+def test_verify_real_data_compare(tmp_path, monkeypatch):
+    """Envelope comparison runs against a finished (tiny synthetic) run."""
+    mod = _load_script("verify_real_data.py")
+    import argparse
+    from tests.conftest import make_config
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    cfg = make_config(num_epochs=2, prior="standard_gaussian",
+                      synthetic_n_train=256, synthetic_n_test=128,
+                      num_hidden_units=64, enable_plots=0)
+    cfg["result_dir"] = str(tmp_path / "result") + "/"
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+    MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg).train()
+
+    base = {k: v for k, v in cfg.items() if isinstance(v, (int, float, str))}
+    cfg_path = tmp_path / "cfg.json"
+    json.dump(base, open(cfg_path, "w"))
+    # loose envelope: a 2-epoch run only demonstrates the plumbing
+    env_path = tmp_path / "env.json"
+    json.dump({"checks": {"min_train_loss_drop": 0.0,
+                          "final_sigma_max": 1.0,
+                          "sigma_monotone_tolerance": 1.0,
+                          "val_final_within_train_frac": 10.0}},
+              open(env_path, "w"))
+    # compare resolves result_dir from the config: patch process_config to
+    # return our trained run's dirs
+    monkeypatch.setattr(mod, "_load_config", lambda p: cfg)
+    ns = argparse.Namespace(config=str(cfg_path), data_dir=None,
+                            envelope=str(env_path))
+    assert mod.compare(ns) == 0
+    # a strict envelope that the tiny run cannot meet fails
+    json.dump({"checks": {"min_train_loss_drop": 0.99,
+                          "final_sigma_max": 1e-9,
+                          "sigma_monotone_tolerance": 1.0,
+                          "val_final_within_train_frac": 10.0}},
+              open(env_path, "w"))
+    assert mod.compare(ns) == 1

@@ -69,6 +69,13 @@ class JointTrainer:
         self.train_step = make_train_step(model)
         self.eval_step = make_eval_step(model)
         self.fwd = make_forward_fns(model)
+        # K>1: scan K steps per dispatch (ladder_tpu.training.step.
+        # make_train_multi_step) — amortises host dispatch latency on
+        # tunneled/remote devices; identical update semantics.
+        self.steps_per_call = int(config.get("steps_per_call", 1))
+        if self.steps_per_call > 1:
+            from ladder_tpu.training.step import make_train_multi_step
+            self.train_multi_step = make_train_multi_step(model)
 
         self.cur_epoch = 0
         self.gm_fast = None       # (weights, means, covs) of the fast fit
@@ -123,6 +130,20 @@ class JointTrainer:
             from ladder_tpu.parallel.mesh import shard_batch
             return shard_batch(np.asarray(batch), self.mesh)
         return jnp.asarray(batch)
+
+    def _place_stack(self, batches):
+        """Stack K batches into [K, B, ...] for the multi-step scan; under a
+        mesh the batch axis (axis 1) is sharded, the step axis replicated."""
+        if isinstance(batches[0], jax.Array):
+            x = jnp.stack(batches)
+        else:
+            x = np.stack([np.asarray(b) for b in batches])
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            s = NamedSharding(self.mesh,
+                              P(None, self.config.get("data_axis", "data")))
+            return jax.device_put(x, s)
+        return jnp.asarray(x)
 
     def _batch_sharding(self):
         if self.mesh is None:
@@ -221,21 +242,48 @@ class JointTrainer:
         # one base key per epoch; the jitted step folds its counter in, so
         # there is no per-step host split dispatch
         epoch_rng = self._next_rng()
+        sg_ov = (do_prior and self.cur_epoch <= cfg["sg_pretraining"])
+        K = self.steps_per_call
         with trace(profile_dir):
-            for batch in self.train_batches():
-                timer.start()
-                self.state, out = self.train_step(
-                    self.state, self._place(batch), epoch_rng, gm,
-                    flags, lrs, do_prior,
-                    sg_overlap=(do_prior and self.cur_epoch
-                                <= self.config["sg_pretraining"]))
-                timer.stop(sync_on=out if sync_each else None)
-                outs.append(out)
-                n_iter += 1
-                self.mid_epoch_hook(n_iter - 1)
+            if K > 1:
+                from itertools import islice
+                it = iter(self.train_batches())
+                while True:
+                    chunk = list(islice(it, K))
+                    if not chunk:
+                        break
+                    if len(chunk) == K:
+                        timer.start()
+                        self.state, outk = self.train_multi_step(
+                            self.state, self._place_stack(chunk), epoch_rng,
+                            gm, flags, lrs, do_prior, sg_overlap=sg_ov)
+                        timer.stop(sync_on=outk if sync_each else None,
+                                   n_steps=K)
+                        outs.append((K, outk))
+                        n_iter += K
+                    else:  # remainder of the epoch: single steps
+                        for batch in chunk:
+                            self.state, out = self.train_step(
+                                self.state, self._place(batch), epoch_rng,
+                                gm, flags, lrs, do_prior, sg_overlap=sg_ov)
+                            outs.append((1, out))
+                            n_iter += 1
+                    self.mid_epoch_hook(n_iter - 1)
+            else:
+                for batch in self.train_batches():
+                    timer.start()
+                    self.state, out = self.train_step(
+                        self.state, self._place(batch), epoch_rng, gm,
+                        flags, lrs, do_prior, sg_overlap=sg_ov)
+                    timer.stop(sync_on=out if sync_each else None)
+                    outs.append((1, out))
+                    n_iter += 1
+                    self.mid_epoch_hook(n_iter - 1)
             jax.block_until_ready(self.state)
         self._timer_summary = timer.report(prefix=f"epoch {self.cur_epoch}: ")
-        for out in jax.device_get(outs):
+
+        def _record(out):
+            nonlocal train_loss_cur_epoch
             if cfg["TRAIN_VAE"] == 1 and "ae" in out:
                 self.metrics.record_ae_step(out["ae"])
                 train_loss_cur_epoch += float(out["ae"]["loss_ae"])
@@ -243,6 +291,13 @@ class JointTrainer:
                 self.metrics.record_sigma_step(out["sigma"])
             if do_prior and "prior" in out:
                 self.metrics.record_prior_step(out["prior"], self.prior)
+
+        for k, out in [(k, jax.device_get(o)) for k, o in outs]:
+            if k == 1:
+                _record(out)
+            else:
+                for i in range(k):
+                    _record(jax.tree.map(lambda a: a[i], out))
 
         if cfg["TRAIN_VAE"] == 1 and n_iter:
             self.metrics.train_loss_ave_epoch.append(

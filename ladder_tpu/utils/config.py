@@ -56,6 +56,7 @@ _DEFAULTS = {
     "data_axis": "data",
     "dtype": "float32",          # compute dtype for conv/dense stacks
     "fused_train_step": 1,       # 1: one jitted step for all optimiser groups
+    "steps_per_call": 1,         # K>1: scan K train steps per dispatch
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
     "fuse_upsample_conv": 1,     # CelebA decoder: fold 2x resizes into convs
                                  # (identical math; see ops/image.py)

@@ -32,11 +32,13 @@ class StepTimer:
     def start(self):
         self._t0 = time.perf_counter()
 
-    def stop(self, sync_on=None):
+    def stop(self, sync_on=None, n_steps=1):
+        """n_steps>1: the timed dispatch covered several fused steps (the
+        multi-step scan); record the per-step average for each."""
         if sync_on is not None:
             jax.block_until_ready(sync_on)
         dt = time.perf_counter() - self._t0
-        self.times.append(dt)
+        self.times.extend([dt / n_steps] * n_steps)
         return dt
 
     def summary(self):

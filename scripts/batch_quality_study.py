@@ -18,7 +18,7 @@ import tempfile
 import time
 
 
-def run_one(batch, args):
+def run_one(batch, args, lr_scale=1.0):
     import jax
 
     from ladder_tpu.data.celeba import CelebAData
@@ -37,9 +37,12 @@ def run_one(batch, args):
             "n_layers_inner_VAE": 5, "n_mixtures": 50, "n_MC_samples": 100,
             "GM_fit_restart": 3,
             "sigma": 0.5,
-            "learning_rate_ae": 2.5e-4, "learning_rate_sigma": 2.5e-4,
-            "learning_rate_prior": 1.25e-4,
-            "learning_rate_inner_sigma": 2e-4,
+            # linear lr scaling with batch (Goyal et al.; the reference
+            # schedules are per-epoch so trajectories stay comparable)
+            "learning_rate_ae": 2.5e-4 * lr_scale,
+            "learning_rate_sigma": 2.5e-4 * lr_scale,
+            "learning_rate_prior": 1.25e-4 * lr_scale,
+            "learning_rate_inner_sigma": 2e-4 * lr_scale,
             "TRAIN_VAE": 1, "TRAIN_sigma": 1, "TRAIN_prior": 1,
             "TRAIN_inner_sigma": 1,
             "sg_pretraining": args.sg_pretraining,
@@ -63,7 +66,7 @@ def run_one(batch, args):
         wall = time.time() - t0
         m = trainer.metrics
         return dict(
-            batch=batch, wall_s=round(wall, 1),
+            batch=batch, lr_scale=lr_scale, wall_s=round(wall, 1),
             train_neg_elbo=[float(v) for v in m.train_loss_ave_epoch],
             val_neg_elbo=[float(v) for v in m.val_loss_ave_epoch],
             sigma=[float(v) for v in m.test_sigma],
@@ -80,11 +83,16 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[64, 256])
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--lr-scaling", type=int, default=1,
+                    help="1: scale lrs linearly with batch/batches[0]")
     ap.add_argument("--out", default="docs/batch_quality_study.json")
     args = ap.parse_args()
 
-    results = [run_one(b, args) for b in args.batches]
+    results = [run_one(b, args, lr_scale=(b / args.batches[0])
+                       if args.lr_scaling else 1.0)
+               for b in args.batches]
     meta = dict(epochs=args.epochs, n_train=args.n_train,
+                lr_scaling=bool(args.lr_scaling),
                 sg_pretraining=args.sg_pretraining, dtype=args.dtype,
                 seed=args.seed, dataset="synthetic celebA-shaped")
     payload = dict(meta=meta, runs=results)

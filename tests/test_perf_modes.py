@@ -39,12 +39,15 @@ def test_single_pass_grads_are_exact():
                                step=state["step"]),
                           batch, rng, gm, flags, lrs, True)
 
-    # manual: one grad of loss_ae wrt each group at the ORIGINAL params
+    # manual: one grad of loss_ae wrt each group at the ORIGINAL params.
+    # The step derives its sample stream as fold_in(rng, step) on device;
+    # replicate that here (step counter starts at 0).
     params = state["params"]
+    step_rng = jax.random.fold_in(rng, state["step"])
 
     def loss_ae(sub, keys):
         p = {**params, **{k: sub[k] for k in keys}}
-        return compute_loss(model, p, batch, rng, gm, flags)[0]
+        return compute_loss(model, p, batch, step_rng, gm, flags)[0]
 
     for gname, keys in [("ae", ("encoder", "decoder")), ("sigma", ("sigma",)),
                         ("prior", ("prior",)),
@@ -191,3 +194,80 @@ def test_single_pass_without_overlap_flag_misses_prior():
     after = np.concatenate([np.asarray(x).ravel() for x in
                             jax.tree.leaves(new_state["params"]["prior"])])
     np.testing.assert_allclose(before, after)
+
+
+def test_multi_step_scan_matches_single_steps():
+    """make_train_multi_step(K) produces bit-identical state evolution to K
+    sequential single steps (same fold_in(rng, step) streams)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import (
+        init_state, make_train_multi_step, make_train_step)
+    from tests.conftest import make_config
+
+    cfg = make_config(prior="ours", batch_size=8, n_MC_samples=4,
+                      n_mixtures=3, num_hidden_units=64,
+                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2)
+    model = make_model(cfg)
+    state_a = init_state(model, jax.random.PRNGKey(0))
+    state_b = init_state(model, jax.random.PRNGKey(0))
+    step = make_train_step(model)
+    multi = make_train_multi_step(model)
+    gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+    lrs = {k: jnp.asarray(3e-4) for k in
+           ["ae", "sigma", "prior", "inner_sigma"]}
+    flags = {"use_sg_prior": jnp.asarray(False),
+             "use_mask": jnp.asarray(False)}
+    rng = jax.random.PRNGKey(5)
+    K = 3
+    batches = np.random.default_rng(0).uniform(
+        0, 1, (K, 8, 28, 28, 1)).astype(np.float32)
+
+    outs_single = []
+    for i in range(K):
+        state_a, out = step(state_a, jnp.asarray(batches[i]), rng, gm,
+                            flags, lrs, True)
+        outs_single.append(out)
+    state_b, outs_multi = multi(state_b, jnp.asarray(batches), rng, gm,
+                                flags, lrs, True)
+
+    # identical rng streams and update math; tolerances only absorb XLA's
+    # scanned-vs-unrolled fusion reassociation
+    for a, b in zip(jax.tree.leaves(state_a["params"]),
+                    jax.tree.leaves(state_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)
+    for i in range(K):
+        np.testing.assert_allclose(
+            float(outs_single[i]["ae"]["loss_ae"]),
+            float(np.asarray(outs_multi["ae"]["loss_ae"])[i]), rtol=1e-5)
+
+
+def test_trainer_steps_per_call_matches_single(tmp_path, monkeypatch):
+    """A full trainer epoch with steps_per_call=4 (incl. a remainder batch)
+    produces the same metric curves as steps_per_call=1."""
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+    from tests.conftest import make_config
+
+    losses = {}
+    for spc in (1, 4):
+        cfg = make_config(num_epochs=1, prior="standard_gaussian",
+                          synthetic_n_train=384,  # 6 batches: 4 + 2 remainder
+                          synthetic_n_test=128, num_hidden_units=64,
+                          enable_plots=0, steps_per_call=spc, seed=3)
+        cfg["result_dir"] = str(tmp_path / f"r{spc}") + "/"
+        cfg["checkpoint_dir"] = str(tmp_path / f"c{spc}") + "/"
+        create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+        t = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg)
+        t.train()
+        losses[spc] = list(t.metrics.train_loss)
+    assert len(losses[1]) == len(losses[4]) == 6
+    # scanned-vs-unrolled XLA reassociation only
+    np.testing.assert_allclose(losses[1], losses[4], rtol=1e-4)

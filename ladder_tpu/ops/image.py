@@ -288,6 +288,11 @@ def conv3x3_up2x_tf1(x, kernel, bias=None):
     Bit-exactness with the explicit path is at float-rounding level (the
     same products are accumulated in a different association order).
     """
+    if x.shape[1] < 2 or x.shape[2] < 2:
+        raise ValueError(
+            f"conv3x3_up2x_tf1 needs spatial dims >= 2 (got {x.shape}); "
+            f"the n=1 boundary rows coincide — use the explicit "
+            f"resize_bilinear_tf1 + conv path for 1x1 inputs")
     y = _upconv_core(x, kernel.astype(x.dtype))
     if bias is not None:
         y = y + bias.astype(y.dtype)

@@ -21,7 +21,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=512)
@@ -125,6 +125,12 @@ def main():
     # the step folds its counter into the rng, so one base key serves the
     # whole run — no per-step host split dispatch
     if args.steps_per_call > 1:
+        # Steady-state measurement needs a deep dispatch pipeline: on a
+        # tunneled dev chip each call carries ~40 ms of RPC round-trip
+        # latency that only amortises away once many calls are enqueued
+        # ahead of the device (measured: 3 enqueued calls -> 13.7 ms/step,
+        # 20 calls -> 12.5 ms/step = the device's own program rate). Local
+        # PCIe hardware reaches the device rate at any depth.
         from ladder_tpu.training.step import make_train_multi_step
         multi = make_train_multi_step(model)
         stack = jnp.broadcast_to(batch, (args.steps_per_call,) + batch.shape)

@@ -176,32 +176,98 @@ def _row_spec(n):
             (2 * n - 1, n - 1, 0.5, 1))
 
 
-def _corr_row(x, k, p, src, a, dtype):
-    """E_h ⊗ C_w term: 1D composed conv along width of one input row."""
-    xr = x[:, src:src + 1]                                   # [B,1,W,ci]
-    k1 = _compose_kernel_5_1d(k[a], axis=1)                  # [1,5,ci,co]
-    return _dilated_conv(xr, k1, 1, 2, dtype)                # [B,1,2W,co]
+# The three per-axis corrections share structure: correction slot j fixes
+# output row p_j from source row (0, n-1, n-1)[j] through kernel tap
+# a_j = (0, 2, 1)[j] scaled by (-0.5, 0.5, 0.5)[j]. All three are computed
+# in ONE feature-grouped 1D conv (group j = slot j, coef folded into the
+# group's kernel — exact: +-0.5 is a power of two), and the 3x3 corner grid
+# in one einsum, instead of 3 convs + 9 matmuls + 15 scatters per call.
+# Profiled on v5e: the per-op tail of the train step (~3,200 ops) was
+# dominated by these small ops across the 4 decoder stages x fwd/bwd.
+
+_CORR_TAPS = (0, 2, 1)
+_CORR_COEF = (-0.5, 0.5, 0.5)
 
 
-def _corr_col(x, k, q, src, b, dtype):
-    """C_h ⊗ E_w term: 1D composed conv along height of one input column."""
-    xc = x[:, :, src:src + 1]                                # [B,H,1,ci]
-    k1 = _compose_kernel_5_1d(k[:, b], axis=0)               # [5,1,ci,co]
-    return _dilated_conv(xc, k1, 2, 1, dtype)                # [B,2H,1,co]
+def _edge3(x, axis):
+    """Stack slices (0, n-1, n-1) of `axis` into a new length-3 axis."""
+    first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+    last = jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis],
+                                axis=axis)
+    return jnp.concatenate([first, last, last], axis=axis)
+
+
+def _corr_rhs(k, axis):
+    """Grouped-conv kernel: concat_j coef_j * K1d(k[tap_j]) on the output-
+    channel axis -> [1,5,ci,3co] (axis=1) or [5,1,ci,3co] (axis=0)."""
+    k1 = k[:, _CORR_TAPS, :, :] if axis == 0 else k[_CORR_TAPS, :, :, :]
+    blocks = [_compose_kernel_5_1d(c * k1[:, j] if axis == 0 else c * k1[j],
+                                   axis)
+              for j, c in enumerate(_CORR_COEF)]
+    return jnp.concatenate(blocks, axis=-1)
+
+
+def _corr_rows_e(xe, k, dtype):
+    """Three row corrections from stacked edge rows xe [B,3,W,ci] as one
+    grouped conv -> [B,3,2W,co] (slot j = correction j)."""
+    b_, _, w_, ci = xe.shape
+    co = k.shape[3]
+    lhs = xe.transpose(0, 2, 1, 3).reshape(b_, 1, w_, 3 * ci)
+    out = jax.lax.conv_general_dilated(
+        lhs, _corr_rhs(k, axis=1), (1, 1), [(0, 0), (2, 3)],
+        lhs_dilation=(1, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=3, preferred_element_type=dtype)
+    return out.reshape(b_, 2 * w_, 3, co).transpose(0, 2, 1, 3)
+
+
+def _corr_cols_e(xe, k, dtype):
+    """Three column corrections from stacked edge cols xe [B,H,3,ci] as one
+    grouped conv -> [B,2H,3,co]."""
+    b_, h_, _, ci = xe.shape
+    co = k.shape[3]
+    lhs = xe.reshape(b_, h_, 1, 3 * ci)
+    out = jax.lax.conv_general_dilated(
+        lhs, _corr_rhs(k, axis=0), (1, 1), [(2, 3), (0, 0)],
+        lhs_dilation=(2, 1), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=3, preferred_element_type=dtype)
+    return out.reshape(b_, 2 * h_, 3, co)
+
+
+def _corner_kernel(k):
+    """kc[j,l] = coef_j * coef_l * k[tap_j, tap_l] -> [3,3,ci,co]."""
+    coef = jnp.asarray(_CORR_COEF, k.dtype)
+    kp = k[_CORR_TAPS, :, :, :][:, _CORR_TAPS, :, :]
+    return kp * (coef[:, None] * coef[None, :])[:, :, None, None]
+
+
+def _add_rows(y, rows, h):
+    """rows [B,3,2W,co] -> y rows (0, 2h-2, 2h-1); slots 1,2 are adjacent."""
+    y = y.at[:, 0:1].add(rows[:, 0:1])
+    return y.at[:, 2 * h - 2:2 * h].add(rows[:, 1:3])
+
+
+def _add_cols(y, cols, w):
+    y = y.at[:, :, 0:1].add(cols[:, :, 0:1])
+    return y.at[:, :, 2 * w - 2:2 * w].add(cols[:, :, 1:3])
+
+
+def _add_corners(y, c, h, w):
+    """c [B,3,3,co] -> the 3x3 grid (0,2h-2,2h-1) x (0,2w-2,2w-1)."""
+    y = y.at[:, 0:1, 0:1].add(c[:, 0:1, 0:1])
+    y = y.at[:, 0:1, 2 * w - 2:2 * w].add(c[:, 0:1, 1:3])
+    y = y.at[:, 2 * h - 2:2 * h, 0:1].add(c[:, 1:3, 0:1])
+    return y.at[:, 2 * h - 2:2 * h, 2 * w - 2:2 * w].add(c[:, 1:3, 1:3])
 
 
 def _upconv_exact(x, k):
-    """Primal: dilated main conv + boundary corrections (see header)."""
+    """Primal: dilated main conv + batched boundary corrections."""
     y = _dilated_conv(x, _compose_kernel_5(k), 2, 2, x.dtype)
     h, w = x.shape[1], x.shape[2]
-    for (p, src, coef, a) in _row_spec(h):
-        y = y.at[:, p:p + 1].add(coef * _corr_row(x, k, p, src, a, x.dtype))
-    for (q, src, coef, b) in _row_spec(w):
-        y = y.at[:, :, q:q + 1].add(coef * _corr_col(x, k, q, src, b, x.dtype))
-    for (p, sr, ch, a) in _row_spec(h):
-        for (q, sc, cw, b) in _row_spec(w):
-            y = y.at[:, p, q].add((ch * cw) * (x[:, sr, sc, :] @ k[a, b]))
-    return y
+    y = _add_rows(y, _corr_rows_e(_edge3(x, 1), k, x.dtype), h)
+    y = _add_cols(y, _corr_cols_e(_edge3(x, 2), k, x.dtype), w)
+    corners = jnp.einsum("bijc,ijcd->bijd", _edge3(_edge3(x, 1), 2),
+                         _corner_kernel(k))
+    return _add_corners(y, corners, h, w)
 
 
 @jax.custom_vjp
@@ -247,34 +313,43 @@ def _upconv_core_bwd(res, yb):
     dk5 = jnp.flip(dk5f, axis=(0, 1))
     dk = _decompose_kernel_5_T(dk5)
 
-    # row corrections: term = coef * place_row_p(conv1d(x[src], K(k[a])))
-    for (p, src, coef, a) in _row_spec(h):
-        yb_row = coef * yb[:, p:p + 1]
-        _, vjp_r = jax.vjp(
-            lambda xr_, ka_: _dilated_conv(
-                xr_, _compose_kernel_5_1d(ka_, axis=1), 1, 2, dtype),
-            x[:, src:src + 1], k[a])
-        dxr, dka = vjp_r(yb_row)
-        dx = dx.at[:, src:src + 1].add(dxr.astype(dx.dtype))
-        dk = dk.at[a].add(dka.astype(dk.dtype))
-    # column corrections
-    for (q, src, coef, b) in _row_spec(w):
-        yb_col = coef * yb[:, :, q:q + 1]
-        _, vjp_c = jax.vjp(
-            lambda xc_, kb_: _dilated_conv(
-                xc_, _compose_kernel_5_1d(kb_, axis=0), 2, 1, dtype),
-            x[:, :, src:src + 1], k[:, b])
-        dxc, dkb = vjp_c(yb_col)
-        dx = dx.at[:, :, src:src + 1].add(dxc.astype(dx.dtype))
-        dk = dk.at[:, b].add(dkb.astype(dk.dtype))
-    # corner terms: coef * x[:, sr, sc] @ k[a, b] at y[:, p, q]
-    for (p, sr, ch, a) in _row_spec(h):
-        for (q, sc, cw, b) in _row_spec(w):
-            yb_pt = (ch * cw) * yb[:, p, q]                  # [B,co]
-            dx = dx.at[:, sr, sc].add(
-                (yb_pt @ k[a, b].T).astype(dx.dtype))
-            dk = dk.at[a, b].add(
-                (x[:, sr, sc, :].T @ yb_pt).astype(dk.dtype))
+    # Batched boundary-correction adjoints: one grouped-conv VJP per axis
+    # against the slim edge stacks (not x itself — that would materialise a
+    # dense, almost-all-zero dx̄ per term), then scatter the 1-row/1-col
+    # results back. Slot gradients for the two n-1 slots sum; kernel
+    # gradients come back dense [3,3,ci,co] from the tap-permutation
+    # adjoint inside _corr_rhs/_corner_kernel — no scatters at all.
+    xr3 = _edge3(x, 1)                                       # [B,3,W,ci]
+    xc3 = _edge3(x, 2)                                       # [B,H,3,ci]
+    ybr = jnp.concatenate([yb[:, 0:1], yb[:, 2 * h - 2:2 * h]], axis=1)
+    _, vjp_r = jax.vjp(lambda xe, k_: _corr_rows_e(xe, k_, dtype), xr3, k)
+    dxr3, dkr = vjp_r(ybr)
+    dx = dx.at[:, 0:1].add(dxr3[:, 0:1].astype(dx.dtype))
+    dx = dx.at[:, h - 1:h].add(
+        (dxr3[:, 1:2] + dxr3[:, 2:3]).astype(dx.dtype))
+    dk = dk + dkr.astype(dk.dtype)
+
+    ybc = jnp.concatenate([yb[:, :, 0:1], yb[:, :, 2 * w - 2:2 * w]], axis=2)
+    _, vjp_c = jax.vjp(lambda xe, k_: _corr_cols_e(xe, k_, dtype), xc3, k)
+    dxc3, dkc = vjp_c(ybc)
+    dx = dx.at[:, :, 0:1].add(dxc3[:, :, 0:1].astype(dx.dtype))
+    dx = dx.at[:, :, w - 1:w].add(
+        (dxc3[:, :, 1:2] + dxc3[:, :, 2:3]).astype(dx.dtype))
+    dk = dk + dkc.astype(dk.dtype)
+
+    # corner adjoints (cotangent [B,3,3,co] gathered from ybr's edge cols)
+    ybk = jnp.concatenate([ybr[:, :, 0:1], ybr[:, :, 2 * w - 2:2 * w]],
+                          axis=2)
+    _, vjp_k = jax.vjp(
+        lambda s, k_: jnp.einsum("bijc,ijcd->bijd", s, _corner_kernel(k_)),
+        _edge3(xr3, 2), k)
+    dsk, dkk = vjp_k(ybk)
+    top, bot = dsk[:, 0:1], dsk[:, 1:2] + dsk[:, 2:3]        # [B,1,3,ci]
+    for r0, t in ((0, top), (h - 1, bot)):
+        dx = dx.at[:, r0:r0 + 1, 0:1].add(t[:, :, 0:1].astype(dx.dtype))
+        dx = dx.at[:, r0:r0 + 1, w - 1:w].add(
+            (t[:, :, 1:2] + t[:, :, 2:3]).astype(dx.dtype))
+    dk = dk + dkk.astype(dk.dtype)
     return dx, dk
 
 

@@ -1,0 +1,266 @@
+"""Fixed-shape jitted inference engine for trained LaDDer models.
+
+Serving differs from the training path in three ways this class owns:
+
+1. **Static shapes.** Every entry point pads client batches up to a fixed
+   `serve_batch` so XLA compiles each path exactly once (ragged client
+   batches never recompile); the pad rows are stripped before returning.
+2. **Warm start.** `warmup()` drives every path once at the serve shape so
+   the first real request never pays compilation.
+3. **Scale-out.** `mesh_devices=N` shards the batch axis of every path over
+   a 1-D data-parallel `jax.sharding.Mesh` with replicated parameters —
+   the same GSPMD layout as training (parallel/mesh.py), so a v5p-8 slice
+   serves 8x the batch with no code change.
+
+Checkpoint compatibility: loads the reference-layout two-group msgpack
+files written by utils/checkpoint.py (the re-expression of the reference's
+two tf.train.Savers, /root/reference/codes/base.py:37-85) and the
+GM_prior_info.npz accurate hyper-prior fit (base.py:768-777). Generation
+reproduces the trainer's sampling semantics
+(training/trainer.py:sample_codes_from_prior; reference base.py:1065-1168).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ladder_tpu.models.builder import (
+    PRIORS_WITH_INNER_VAE,
+    PRIORS_WITH_PRIOR_MODEL,
+    make_model,
+)
+from ladder_tpu.ops.distributions import (
+    gmm_cholesky,
+    gmm_logpdf,
+    sample_diag_gaussian,
+    sample_gmm,
+)
+from ladder_tpu.utils.checkpoint import CheckpointManager
+
+
+def _pad_to(x, n):
+    """Pad axis 0 up to n rows (repeat-last keeps shapes conv-safe)."""
+    k = x.shape[0]
+    if k == n:
+        return x
+    if k > n:
+        raise ValueError(f"batch {k} exceeds serve_batch {n}")
+    pad = jnp.broadcast_to(x[-1:], (n - k,) + x.shape[1:])
+    return jnp.concatenate([x, pad], axis=0)
+
+
+class InferenceEngine:
+    """One trained model, compiled for serving.
+
+    Parameters
+    ----------
+    config : the training config dict (utils/config.py schema). Shapes,
+        prior mode and directory layout all come from here.
+    checkpoint_dir : override for config['checkpoint_dir'].
+    gm_info_path : override for result_dir/GM_prior_info.npz ('ours'/'GMM').
+    serve_batch : fixed compile batch for the image/code paths.
+    dtype : 'float32' (default) or 'bfloat16' for the conv stacks.
+    mesh_devices : 0 = single device; N>0 = shard batch over N devices.
+    """
+
+    def __init__(self, config, checkpoint_dir=None, gm_info_path=None,
+                 serve_batch=64, dtype=None, mesh_devices=0):
+        cfg = dict(config)
+        if dtype is not None:
+            cfg["dtype"] = dtype
+        if checkpoint_dir is not None:
+            cfg["checkpoint_dir"] = checkpoint_dir
+        self.config = cfg
+        self.serve_batch = int(serve_batch)
+        self.model = make_model(cfg)
+        self.prior = cfg["prior"]
+
+        params = self.model.init(jax.random.PRNGKey(0))
+        state = {"params": params}
+        ck = CheckpointManager(cfg)
+        state = ck.load(state, "VAE")
+        if self.prior in PRIORS_WITH_PRIOR_MODEL:
+            state = ck.load(state, "prior")
+        self.params = state["params"]
+
+        self.gm = self._load_gm(gm_info_path)
+        self.mesh = None
+        if mesh_devices:
+            from ladder_tpu.parallel.mesh import make_mesh, replicate
+            self.mesh = make_mesh(devices=jax.devices()[:mesh_devices])
+            self.params = replicate(self.params, self.mesh)
+
+        self._build()
+        self._latency = {}
+
+    # -- artifact loading ----------------------------------------------
+    def _load_gm(self, gm_info_path):
+        if self.prior not in ("ours", "GMM"):
+            return None
+        path = gm_info_path or os.path.join(
+            self.config["result_dir"], "GM_prior_info.npz")
+        if not os.path.isfile(path):
+            return None
+        info = np.load(path)
+        w = jnp.asarray(info["w_full"], jnp.float32)
+        m = jnp.asarray(info["m_full"], jnp.float32)
+        K = jnp.asarray(info["K_full"], jnp.float32)
+        return dict(weights=w, means=m, chols=gmm_cholesky(K, jitter=1e-6))
+
+    # -- compiled paths --------------------------------------------------
+    def _jit(self, fn):
+        if self.mesh is None:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        data = NamedSharding(self.mesh, P("data"))
+        return jax.jit(fn, in_shardings=(None, data),
+                       out_shardings=data)
+
+    def _build(self):
+        model, cfg = self.model, self.config
+
+        def _norm(x):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) * (1.0 / 255.0)
+            return x
+
+        def encode(params, x):
+            mean, std = model.encode(params, _norm(x))
+            return mean, std
+
+        def decode(params, z):
+            return jnp.clip(model.decode(params, z), 0.0, 1.0)
+
+        def reconstruct(params, x):
+            mean, _ = model.encode(params, _norm(x))
+            return jnp.clip(model.decode(params, mean), 0.0, 1.0)
+
+        self._encode = self._jit(encode)
+        self._decode = self._jit(decode)
+        self._reconstruct = self._jit(reconstruct)
+
+        if self.prior in PRIORS_WITH_INNER_VAE:
+            def represent(params, x):
+                mean, _ = model.encode(params, _norm(x))
+                t_mean, t_std = model.inner_encode(params, mean)
+                return t_mean, t_std
+
+            def inner_decode(params, t):
+                return model.inner_decode(params, t)[0]
+
+            self._represent = self._jit(represent)
+            self._inner_decode = self._jit(inner_decode)
+
+        # generation: rng-driven, params replicated; one fused program
+        def gen_codes(params, rng, gm):
+            n = self.serve_batch
+            if self.prior == "standard_gaussian":
+                return jax.random.normal(rng, (n, cfg["code_size"]))
+            if self.prior == "GMM":
+                return sample_gmm(rng, gm["weights"], gm["means"],
+                                  gm["chols"], n)
+            if self.prior == "ours":
+                t = sample_gmm(rng, gm["weights"], gm["means"],
+                               gm["chols"], n)
+                return model.inner_decode(params, t)[0]
+            if self.prior == "hierarchical":
+                t = jax.random.normal(rng, (n, cfg["representation_size"]))
+                return model.inner_decode(params, t)[0]
+            if self.prior == "vampPrior":
+                pseudo = model.pseudo_inputs(params)
+                mean, std = model.encode(params, pseudo)
+                rng_k, rng_eps = jax.random.split(rng)
+                k = jax.random.randint(rng_k, (n,), 0, cfg["n_mixtures"])
+                return sample_diag_gaussian(rng_eps, mean[k], std[k])
+            raise ValueError(self.prior)
+
+        def generate(params, rng, gm):
+            return jnp.clip(model.decode(params, gen_codes(params, rng, gm)),
+                            0.0, 1.0)
+
+        self._generate = jax.jit(generate)
+        if self.gm is not None:
+            self._t_logpdf = jax.jit(
+                lambda t, gm: gmm_logpdf(t, gm["weights"], gm["means"],
+                                         gm["chols"]))
+
+    # -- public API -------------------------------------------------------
+    def _run(self, name, fn, x, *rest):
+        n = x.shape[0]
+        t0 = time.perf_counter()
+        out = fn(self.params, _pad_to(jnp.asarray(x), self.serve_batch),
+                 *rest)
+        out = jax.tree.map(lambda a: np.asarray(a)[:n], out)
+        dt = time.perf_counter() - t0
+        ema = self._latency.get(name)
+        self._latency[name] = dt if ema is None else 0.9 * ema + 0.1 * dt
+        return out
+
+    def encode(self, x):
+        """images [N,H,W,C] (uint8 or [0,1] float) -> (code_mean, code_std)."""
+        return self._run("encode", self._encode, x)
+
+    def decode(self, z):
+        """codes [N, code_size] -> images [N,H,W,C] clipped to [0,1]."""
+        return self._run("decode", self._decode, z)
+
+    def reconstruct(self, x):
+        """images -> posterior-mean reconstructions in [0,1]."""
+        return self._run("reconstruct", self._reconstruct, x)
+
+    def represent(self, x):
+        """images -> 2-D representation (t_mean, t_std) ('ours'/'hierarchical')."""
+        if self.prior not in PRIORS_WITH_INNER_VAE:
+            raise ValueError(f"prior {self.prior} has no t-space")
+        return self._run("represent", self._represent, x)
+
+    def generate(self, n, seed=0):
+        """Sample n images from the configured prior (clipped to [0,1])."""
+        if self.prior in ("ours", "GMM") and self.gm is None:
+            raise ValueError("generation with prior='%s' needs "
+                             "GM_prior_info.npz (run an accurate fit or pass "
+                             "gm_info_path)" % self.prior)
+        out = []
+        rng = jax.random.PRNGKey(seed)
+        remaining = n
+        while remaining > 0:
+            rng, r = jax.random.split(rng)
+            imgs = np.asarray(self._generate(self.params, r, self.gm))
+            out.append(imgs[:remaining])
+            remaining -= imgs.shape[0]
+        return np.concatenate(out, axis=0)
+
+    def t_log_density(self, t):
+        """log p_GM(t) under the accurate hyper-prior fit."""
+        if self.gm is None:
+            raise ValueError("no GM_prior_info.npz loaded")
+        return np.asarray(self._t_logpdf(jnp.asarray(t, jnp.float32),
+                                         self.gm))
+
+    def warmup(self):
+        """Compile every path at the serve shape; returns seconds taken."""
+        cfg = self.config
+        t0 = time.perf_counter()
+        x = np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
+                      cfg["dim_input_channel"]), np.float32)
+        self.encode(x)
+        self.reconstruct(x)
+        self.decode(np.zeros((1, cfg["code_size"]), np.float32))
+        if self.prior in PRIORS_WITH_INNER_VAE:
+            self.represent(x)
+        try:
+            self.generate(1)
+        except ValueError:
+            pass  # no GM fit on disk — generation unavailable, not an error
+        return time.perf_counter() - t0
+
+    @property
+    def latency_ema(self):
+        """Per-path smoothed wall latency (seconds) of past calls."""
+        return dict(self._latency)

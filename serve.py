@@ -1,0 +1,159 @@
+"""Serving CLI for trained LaDDer models.
+
+Three modes over the same engine (ladder_tpu/serving):
+
+  # sample 64 images from the trained prior into out/gen.npz
+  python serve.py --config codes/mnist_digit_config.json --generate 64 \
+      --out out/gen.npz
+
+  # reconstruct an .npz/.npy of images (key 'x' or first array)
+  python serve.py --config ... --reconstruct inputs.npz --out out/recon.npz
+
+  # AOT-export the inference paths (StableHLO with baked weights)
+  python serve.py --config ... --export exported/
+
+  # HTTP endpoint (stdlib, npy request/response bodies)
+  python serve.py --config ... --http 8787
+  #   POST /encode /decode /reconstruct /represent with an .npy body;
+  #   GET  /generate?n=16&seed=0 ; GET /healthz
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np  # noqa: E402
+
+
+def _load_array(path):
+    if path.endswith(".npz"):
+        z = np.load(path)
+        return z["x"] if "x" in z else z[list(z.keys())[0]]
+    return np.load(path)
+
+
+def make_handler(engine):
+    from http.server import BaseHTTPRequestHandler
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send_npy(self, arr, code=200):
+            buf = io.BytesIO()
+            np.save(buf, np.asarray(arr))
+            body = buf.getvalue()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/x-npy")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_json(self, obj, code=200):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path.startswith("/healthz"):
+                return self._send_json({"ok": True,
+                                        "latency_ema": engine.latency_ema})
+            if self.path.startswith("/generate"):
+                from urllib.parse import parse_qs, urlparse
+                q = parse_qs(urlparse(self.path).query)
+                n = int(q.get("n", ["16"])[0])
+                seed = int(q.get("seed", ["0"])[0])
+                try:
+                    return self._send_npy(engine.generate(n, seed=seed))
+                except ValueError as e:
+                    return self._send_json({"error": str(e)}, 400)
+            self._send_json({"error": "unknown path"}, 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            x = np.load(io.BytesIO(self.rfile.read(length)))
+            route = self.path.rstrip("/")
+            try:
+                if route == "/encode":
+                    mean, std = engine.encode(x)
+                    return self._send_npy(np.stack([mean, std]))
+                if route == "/decode":
+                    return self._send_npy(engine.decode(x))
+                if route == "/reconstruct":
+                    return self._send_npy(engine.reconstruct(x))
+                if route == "/represent":
+                    mean, std = engine.represent(x)
+                    return self._send_npy(np.stack([mean, std]))
+            except ValueError as e:
+                return self._send_json({"error": str(e)}, 400)
+            self._send_json({"error": "unknown path"}, 404)
+
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--config", required=True)
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--gm-info", default=None)
+    ap.add_argument("--serve-batch", type=int, default=64)
+    ap.add_argument("--dtype", default=None,
+                    choices=[None, "float32", "bfloat16"])
+    ap.add_argument("--mesh", type=int, default=0)
+    ap.add_argument("--generate", type=int, default=0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--reconstruct", default=None)
+    ap.add_argument("--export", default=None)
+    ap.add_argument("--http", type=int, default=0)
+    ap.add_argument("--out", default="serving_out.npz")
+    args = ap.parse_args(argv)
+
+    from ladder_tpu.serving import InferenceEngine, export_inference
+    from ladder_tpu.utils.config import process_config
+
+    cfg = process_config(args.config)
+    engine = InferenceEngine(
+        cfg, checkpoint_dir=args.checkpoint_dir, gm_info_path=args.gm_info,
+        serve_batch=args.serve_batch, dtype=args.dtype,
+        mesh_devices=args.mesh)
+
+    if args.export:
+        written = export_inference(engine, args.export)
+        for name, path in written.items():
+            print(f"exported {name} -> {path}")
+        return 0
+
+    if args.generate:
+        imgs = engine.generate(args.generate, seed=args.seed)
+        np.savez(args.out, x=imgs)
+        print(f"wrote {imgs.shape} generated images -> {args.out}")
+        return 0
+
+    if args.reconstruct:
+        x = _load_array(args.reconstruct)
+        recon = engine.reconstruct(x)
+        np.savez(args.out, x=recon)
+        print(f"wrote {recon.shape} reconstructions -> {args.out}")
+        return 0
+
+    if args.http:
+        from http.server import ThreadingHTTPServer
+        secs = engine.warmup()
+        print(f"warmup {secs:.1f}s; serving on :{args.http}")
+        ThreadingHTTPServer(("127.0.0.1", args.http),
+                            make_handler(engine)).serve_forever()
+
+    print("nothing to do: pass --generate/--reconstruct/--export/--http")
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

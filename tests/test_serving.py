@@ -1,0 +1,173 @@
+"""Serving layer: engine parity with the raw model, padding, generation,
+AOT export round-trip, and the HTTP endpoint (new-framework capability on
+top of the reference's checkpoint artifacts, base.py:37-85, 768-777)."""
+
+import io
+import json
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ladder_tpu.models.builder import make_model
+from ladder_tpu.utils.checkpoint import CheckpointManager, save_gm_prior_info
+
+
+def tiny_config(tmp_path, prior="ours"):
+    from tests.conftest import make_config
+
+    cfg = make_config(prior=prior, n_mixtures=4, n_MC_samples=4)
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    cfg["result_dir"] = str(tmp_path / "result") + "/"
+    os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
+    os.makedirs(cfg["result_dir"], exist_ok=True)
+    return cfg
+
+
+def save_trained_like(cfg, seed=0):
+    """Init a model and persist it through the reference-layout artifacts."""
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(seed))
+    ck = CheckpointManager(cfg)
+    ck.save({"params": params}, model="joint")
+    rng = np.random.default_rng(seed)
+    K = cfg["n_mixtures"]
+    covs = np.stack([np.eye(cfg["representation_size"]) * 0.5] * K)
+    save_gm_prior_info(cfg["result_dir"],
+                       np.full((K,), 1.0 / K),
+                       rng.standard_normal((K, cfg["representation_size"])),
+                       covs)
+    return model, params
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("serving")
+    cfg = tiny_config(tmp_path)
+    model, params = save_trained_like(cfg)
+    from ladder_tpu.serving import InferenceEngine
+    engine = InferenceEngine(cfg, serve_batch=8)
+    return cfg, model, params, engine
+
+
+def test_engine_matches_model(served):
+    cfg, model, params, engine = served
+    x = np.random.default_rng(1).random((5, 28, 28, 1)).astype(np.float32)
+    mean, std = engine.encode(x)
+    ref_mean, ref_std = model.encode(params, jnp.asarray(x))
+    np.testing.assert_allclose(mean, np.asarray(ref_mean)[:5], rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(std, np.asarray(ref_std)[:5], rtol=1e-5,
+                               atol=1e-5)
+
+    recon = engine.reconstruct(x)
+    ref = np.clip(np.asarray(model.decode(params, ref_mean)), 0, 1)[:5]
+    np.testing.assert_allclose(recon, ref, rtol=1e-4, atol=1e-4)
+    assert recon.min() >= 0.0 and recon.max() <= 1.0
+
+    # uint8 inputs are normalised like the training pipeline
+    xu = (x * 255).astype(np.uint8)
+    mean_u, _ = engine.encode(xu)
+    ref_u, _ = model.encode(params, jnp.asarray(
+        xu.astype(np.float32) / 255.0))
+    np.testing.assert_allclose(mean_u, np.asarray(ref_u)[:5], rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_engine_padding_invariance(served):
+    """Results must not depend on the pad rows (batch 3 vs batch 8)."""
+    _, _, _, engine = served
+    x = np.random.default_rng(2).random((8, 28, 28, 1)).astype(np.float32)
+    full, _ = engine.encode(x)
+    part, _ = engine.encode(x[:3])
+    np.testing.assert_allclose(part, full[:3], rtol=1e-5, atol=1e-6)
+
+
+def test_engine_generate_and_density(served):
+    _, _, _, engine = served
+    imgs = engine.generate(11, seed=3)
+    assert imgs.shape == (11, 28, 28, 1)
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+    # deterministic per seed
+    np.testing.assert_array_equal(imgs, engine.generate(11, seed=3))
+    assert not np.array_equal(imgs, engine.generate(11, seed=4))
+    lp = engine.t_log_density(np.zeros((4, 2), np.float32))
+    assert lp.shape == (4,) and np.isfinite(lp).all()
+
+
+def test_engine_warmup_and_latency(served):
+    _, _, _, engine = served
+    secs = engine.warmup()
+    assert secs >= 0.0
+    assert "encode" in engine.latency_ema
+
+
+def test_export_roundtrip(served, tmp_path):
+    cfg, model, params, engine = served
+    from ladder_tpu.serving import export_inference, load_exported
+    written = export_inference(engine, str(tmp_path / "exp"),
+                               names=("decode", "reconstruct"))
+    assert set(written) == {"decode", "reconstruct"}
+    x = np.random.default_rng(4).random((8, 28, 28, 1)).astype(np.float32)
+    recon_direct = engine.reconstruct(x)
+    recon_exported = np.asarray(load_exported(written["reconstruct"])(x))
+    np.testing.assert_allclose(recon_exported, recon_direct, rtol=1e-5,
+                               atol=1e-5)
+    z = np.random.default_rng(5).standard_normal(
+        (8, cfg["code_size"])).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(load_exported(written["decode"])(z)),
+                               engine.decode(z), rtol=1e-5, atol=1e-5)
+
+
+def test_engine_mesh_parity(served):
+    """8-virtual-device data-parallel serving == single-device results."""
+    cfg, model, params, engine = served
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from ladder_tpu.serving import InferenceEngine
+    sharded = InferenceEngine(cfg, serve_batch=8, mesh_devices=8)
+    x = np.random.default_rng(6).random((8, 28, 28, 1)).astype(np.float32)
+    np.testing.assert_allclose(sharded.reconstruct(x), engine.reconstruct(x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_http_endpoint(served):
+    import urllib.request
+
+    from http.server import ThreadingHTTPServer
+
+    import serve as serve_cli
+
+    _, _, _, engine = served
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0),
+                                serve_cli.make_handler(engine))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    try:
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+
+        x = np.random.default_rng(7).random((3, 28, 28, 1)).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, x)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=buf.getvalue(),
+            headers={"Content-Type": "application/x-npy"})
+        with urllib.request.urlopen(req, timeout=60) as r:
+            recon = np.load(io.BytesIO(r.read()))
+        np.testing.assert_allclose(recon, engine.reconstruct(x), rtol=1e-5,
+                                   atol=1e-5)
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/generate?n=2&seed=1",
+                timeout=60) as r:
+            gen = np.load(io.BytesIO(r.read()))
+        assert gen.shape == (2, 28, 28, 1)
+    finally:
+        httpd.shutdown()

@@ -69,6 +69,22 @@ def init_state(model, rng):
     return dict(params=params, opt=opt, step=jnp.zeros((), dtype=jnp.int32))
 
 
+def _apply_update(cfg, grads, opt_state, group, lr):
+    """Clipped TF1-Adam update for one optimiser group. On TPU (and unless
+    the skip_nonfinite guard is on) the whole update — clip, moments, step —
+    runs as the single-pass Pallas kernel (ops/pallas_adam.py); elsewhere
+    the jnp path in training/optim.py. Identical math either way."""
+    skip = bool(cfg.get("skip_nonfinite_updates", 0))
+    if (cfg.get("fused_adam", 1) and not skip
+            and jax.default_backend() == "tpu"):
+        from ladder_tpu.ops.pallas_adam import adam_update_fused
+        from ladder_tpu.training.optim import ADAM_B1, ADAM_B2, ADAM_EPS
+        return adam_update_fused(grads, opt_state, group, lr,
+                                 ADAM_B1, ADAM_B2, ADAM_EPS)
+    return adam_update(clip_grads(grads), opt_state, group, lr,
+                       skip_nonfinite=skip)
+
+
 def _grad_step(model, params, opt_state, keys, batch, rng, gm, flags, lr,
                loss_selector):
     """Differentiate the selected scalar wrt the param subset and apply one
@@ -81,10 +97,8 @@ def _grad_step(model, params, opt_state, keys, batch, rng, gm, flags, lr,
 
     group = _subset(params, keys)
     (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(group)
-    grads = clip_grads(grads)
-    new_group, new_opt = adam_update(
-        grads, opt_state, group, lr,
-        skip_nonfinite=bool(model.config.get("skip_nonfinite_updates", 0)))
+    new_group, new_opt = _apply_update(model.config, grads, opt_state,
+                                       group, lr)
     return {**params, **new_group}, new_opt, metrics
 
 
@@ -222,16 +236,13 @@ def _make_single_pass_step(model, jit=True):
         sub = _subset(params, all_keys)
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(sub)
-        grads = clip_grads(grads)
-        skip = bool(cfg.get("skip_nonfinite_updates", 0))
 
         new_params = dict(params)
         for name in main_names:
             keys = groups[name]
             g = _subset(grads, keys)
             p = _subset(params, keys)
-            upd, opt[name] = adam_update(g, opt[name], p, lrs[name],
-                                         skip_nonfinite=skip)
+            upd, opt[name] = _apply_update(cfg, g, opt[name], p, lrs[name])
             new_params.update(upd)
 
         if sg_overlap and prior_names:
@@ -246,13 +257,12 @@ def _make_single_pass_step(model, jit=True):
             psub = _subset(params, prior_keys)
             (_, metrics_p), pgrads = jax.value_and_grad(
                 prior_loss_fn, has_aux=True)(psub)
-            pgrads = clip_grads(pgrads)
             for name in prior_names:
                 keys = groups[name]
                 g = _subset(pgrads, keys)
                 p = _subset(params, keys)
-                upd, opt[name] = adam_update(g, opt[name], p, lrs[name],
-                                             skip_nonfinite=skip)
+                upd, opt[name] = _apply_update(cfg, g, opt[name], p,
+                                               lrs[name])
                 new_params.update(upd)
 
         out = {}

@@ -60,6 +60,10 @@ _DEFAULTS = {
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
     "fuse_upsample_conv": 1,     # CelebA decoder: fold 2x resizes into convs
                                  # (identical math; see ops/image.py)
+    "fused_adam": 0,             # TPU: single-pass Pallas Adam kernel —
+                                 # measured SLOWER than XLA's own schedule
+                                 # (14.5 vs 13.3 ms/step); opt-in template,
+                                 # see ops/pallas_adam.py + DESIGN.md §7
     "data_dir": None,            # local dataset directory (offline environments)
     "synthetic_data": 0,         # 1: deterministic synthetic dataset (tests/bench)
     "num_epochs": 0,

@@ -77,3 +77,50 @@ def test_decoder_pallas_matches_reference_path():
     out_pal = dec_pal.apply(params, z)  # identical parameter tree
     np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# fused Adam (ops/pallas_adam.py)
+# ---------------------------------------------------------------------------
+
+def _adam_tree(seed=0):
+    rng = np.random.default_rng(seed)
+    shapes = {
+        "conv": (3, 3, 64, 128),     # eligible (multiple of 128 lanes)
+        "dense": (256, 512),         # eligible
+        "bias": (77,),               # ragged -> jnp fallback
+        "scalar": (),                # jnp fallback
+    }
+    mk = lambda s: jnp.asarray(rng.standard_normal(s), jnp.float32)
+    params = {k: mk(s) for k, s in shapes.items()}
+    grads = {k: 3.0 * mk(s) for k, s in shapes.items()}  # exercises the clip
+    return params, grads
+
+
+def test_fused_adam_matches_reference(monkeypatch):
+    import ladder_tpu.ops.pallas_adam as pa
+    from ladder_tpu.training.optim import (
+        ADAM_B1, ADAM_B2, ADAM_EPS, adam_init, adam_update, clip_grads)
+
+    monkeypatch.setattr(pa, "_INTERPRET", True)
+    monkeypatch.setattr(pa, "_MIN_FUSED_ELEMS", 1024)
+    params, grads = _adam_tree()
+    state = adam_init(params)
+    # two consecutive steps so the bias-correction t-dependence is covered
+    lr = jnp.asarray(2.5e-4, jnp.float32)
+    p_ref, s_ref, p_got, s_got = params, state, params, state
+    for _ in range(2):
+        p_ref, s_ref = adam_update(clip_grads(grads), s_ref, p_ref, lr)
+        p_got, s_got = pa.adam_update_fused(grads, s_got, p_got, lr,
+                                            ADAM_B1, ADAM_B2, ADAM_EPS)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(p_got[k]),
+                                   np.asarray(p_ref[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+        np.testing.assert_allclose(np.asarray(s_got["m"][k]),
+                                   np.asarray(s_ref["m"][k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+        np.testing.assert_allclose(np.asarray(s_got["v"][k]),
+                                   np.asarray(s_ref["v"][k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+    assert int(s_got["t"]) == int(s_ref["t"]) == 2

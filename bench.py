@@ -51,7 +51,9 @@ def main():
     from ladder_tpu.models.builder import make_model
     from ladder_tpu.training.losses import identity_gm
     from ladder_tpu.training.step import init_state, make_train_step
-    from ladder_tpu.utils.config import apply_defaults
+    from ladder_tpu.utils.config import apply_defaults, enable_compilation_cache
+
+    enable_compilation_cache()
 
     n_chips = len(jax.devices())
 

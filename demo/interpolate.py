@@ -32,6 +32,9 @@ def main():
 
     import jax.numpy as jnp
 
+    from ladder_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from demo.demo_tools import (
         define_prior_distribution,
         get_embeddings_from_val_set,

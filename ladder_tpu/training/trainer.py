@@ -244,6 +244,7 @@ class JointTrainer:
         epoch_rng = self._next_rng()
         sg_ov = (do_prior and self.cur_epoch <= cfg["sg_pretraining"])
         K = self.steps_per_call
+        timer.wall_start()
         with trace(profile_dir):
             if K > 1:
                 from itertools import islice
@@ -280,6 +281,7 @@ class JointTrainer:
                     n_iter += 1
                     self.mid_epoch_hook(n_iter - 1)
             jax.block_until_ready(self.state)
+        timer.wall_stop()
         self._timer_summary = timer.report(prefix=f"epoch {self.cur_epoch}: ")
 
         def _record(out):

@@ -22,6 +22,24 @@ def get_config_from_json(json_file):
         return json.load(f)
 
 
+def enable_compilation_cache(cache_dir=None):
+    """Turn on jax's persistent compilation cache for the CLI entry points.
+
+    The production CelebA step takes O(minutes) to compile over a remote
+    device link; the cache makes every run after the first start in seconds.
+    Respects JAX_COMPILATION_CACHE_DIR; set LADDER_NO_COMPILE_CACHE=1 to
+    disable. Safe to call before or after jax initialises its backends."""
+    import jax
+
+    if os.environ.get("LADDER_NO_COMPILE_CACHE"):
+        return
+    path = (cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+            or "/tmp/ladder_tpu_jax_cache")
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 # Keys that older reference configs may omit; defaults keep the full flag
 # surface well-defined so downstream code never needs .get() chains.
 _DEFAULTS = {

@@ -117,8 +117,9 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     from ladder_tpu.serving import InferenceEngine, export_inference
-    from ladder_tpu.utils.config import process_config
+    from ladder_tpu.utils.config import enable_compilation_cache, process_config
 
+    enable_compilation_cache()
     cfg = process_config(args.config)
     engine = InferenceEngine(
         cfg, checkpoint_dir=args.checkpoint_dir, gm_info_path=args.gm_info,

@@ -16,9 +16,27 @@ def test_step_timer_summary():
         t.stop(sync_on=jnp.ones(2))
     s = t.summary()
     assert s["steps"] == 5
-    assert s["mean_ms"] >= 2.0
+    assert s["dispatch_mean_ms"] >= 2.0
+    assert s["step_ms"] >= 2.0  # sync timing: dispatch IS device time
     assert s["images_per_sec"] > 0
     assert t.report("x: ")  # prints and returns the summary
+
+
+def test_step_timer_wall_throughput():
+    """Async dispatch: wall-based throughput, not enqueue rate."""
+    t = StepTimer(batch_size=10)
+    import time
+    t.wall_start()
+    for _ in range(4):
+        t.start()
+        t.stop()          # no sync: dispatch times are ~0
+    time.sleep(0.04)      # the "device" draining the queue
+    t.wall_stop()
+    s = t.summary()
+    assert s["wall_s"] >= 0.04
+    # 40 images over >=40 ms -> <= 1000 img/s; enqueue rate would be huge
+    assert s["images_per_sec"] <= 1000.0
+    assert s["step_ms"] >= 10.0
 
 
 def test_trace_noop_without_dir():

@@ -270,4 +270,4 @@ def test_scalar_summaries_written(tmp_path, monkeypatch):
     assert rows[0]["epoch"] == 1
     assert np.isfinite(rows[1]["train_loss"])
     assert rows[1]["val_loss"] is not None
-    assert "timing_mean_ms" in rows[0]
+    assert "timing_step_ms" in rows[0]

@@ -32,6 +32,9 @@ def main(argv=None):
 
     import jax
 
+    from ladder_tpu.utils.config import enable_compilation_cache
+    enable_compilation_cache()
+
     from ladder_tpu.data.mnist import DataGenerator
     from ladder_tpu.models.builder import make_model
     from ladder_tpu.parallel.mesh import make_mesh

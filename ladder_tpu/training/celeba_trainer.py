@@ -54,16 +54,25 @@ class CelebATrainer(JointTrainer):
     def n_val_iter(self):
         return max(self.data.n_val // self.config["batch_size"], 1)
 
-    def mid_epoch_hook(self, idx_iter):
+    def mid_epoch_hook(self, idx_iter, span=1):
         """Reconstruction snapshots at checkpoints inside the epoch
-        (trainers.py:156-158)."""
-        if (self.plots_enabled and self.config["num_iter_to_plot"] > 1
-                and np.any(self.idx_check_point == idx_iter)):
-            self.test_step(self._test_batch, print_result=False)
+        (trainers.py:156-158). With steps_per_call>1 the hook fires once per
+        K-step dispatch with span=K: any checkpoint index inside the window
+        produces its snapshot then (the parameters are <=K-1 steps past the
+        exact index; same artifact set as the reference)."""
+        if not (self.plots_enabled and self.config["num_iter_to_plot"] > 1):
+            return
+        lo = idx_iter - span + 1
+        hits = self.idx_check_point[(self.idx_check_point >= lo)
+                                    & (self.idx_check_point <= idx_iter)]
+        if hits.size == 0:
+            return
+        self.test_step(self._test_batch, print_result=False)
+        for h in hits:
             plotting.plot_interleaved_recon(
                 np.asarray(self._test_batch, dtype=np.float32) / 255.0,
                 self.output_test, self.config["result_dir"],
-                self.cur_epoch, idx_iter, self.config["batch_size"])
+                self.cur_epoch, int(h), self.config["batch_size"])
 
     def epoch_tail_plots(self):
         pass  # CelebA plots happen mid-epoch at the checkpoints

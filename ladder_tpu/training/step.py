@@ -75,7 +75,7 @@ def _apply_update(cfg, grads, opt_state, group, lr):
     runs as the single-pass Pallas kernel (ops/pallas_adam.py); elsewhere
     the jnp path in training/optim.py. Identical math either way."""
     skip = bool(cfg.get("skip_nonfinite_updates", 0))
-    if (cfg.get("fused_adam", 1) and not skip
+    if (cfg.get("fused_adam", 0) and not skip
             and jax.default_backend() == "tpu"):
         from ladder_tpu.ops.pallas_adam import adam_update_fused
         from ladder_tpu.training.optim import ADAM_B1, ADAM_B2, ADAM_EPS

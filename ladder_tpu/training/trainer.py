@@ -262,14 +262,19 @@ class JointTrainer:
                                    n_steps=K)
                         outs.append((K, outk))
                         n_iter += K
+                        # span covers every step in the dispatch so
+                        # checkpoint indices inside the chunk still fire
+                        self.mid_epoch_hook(n_iter - 1, span=K)
                     else:  # remainder of the epoch: single steps
                         for batch in chunk:
+                            timer.start()
                             self.state, out = self.train_step(
                                 self.state, self._place(batch), epoch_rng,
                                 gm, flags, lrs, do_prior, sg_overlap=sg_ov)
+                            timer.stop(sync_on=out if sync_each else None)
                             outs.append((1, out))
                             n_iter += 1
-                    self.mid_epoch_hook(n_iter - 1)
+                            self.mid_epoch_hook(n_iter - 1)
             else:
                 for batch in self.train_batches():
                     timer.start()
@@ -367,9 +372,11 @@ class JointTrainer:
                 plotting.plot_train_and_val_loss_prior(
                     self.metrics, cfg["result_dir"], self.prior)
 
-    def mid_epoch_hook(self, idx_iter):
+    def mid_epoch_hook(self, idx_iter, span=1):
         """CelebA mid-epoch reconstruction checkpoints (trainers.py:156-158);
-        no-op for MNIST."""
+        no-op for MNIST. span>1: steps idx_iter-span+1..idx_iter just ran as
+        one dispatch — implementations must match checkpoint indices against
+        the whole window."""
 
     def epoch_tail_plots(self):
         """Dataset-specific reconstruction plots after validation."""

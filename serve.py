@@ -75,10 +75,10 @@ def make_handler(engine):
             self._send_json({"error": "unknown path"}, 404)
 
         def do_POST(self):
-            length = int(self.headers.get("Content-Length", "0"))
-            x = np.load(io.BytesIO(self.rfile.read(length)))
             route = self.path.rstrip("/")
             try:
+                length = int(self.headers.get("Content-Length", "0"))
+                x = np.load(io.BytesIO(self.rfile.read(length)))
                 if route == "/encode":
                     mean, std = engine.encode(x)
                     return self._send_npy(np.stack([mean, std]))
@@ -89,7 +89,7 @@ def make_handler(engine):
                 if route == "/represent":
                     mean, std = engine.represent(x)
                     return self._send_npy(np.stack([mean, std]))
-            except ValueError as e:
+            except (ValueError, OSError, EOFError) as e:
                 return self._send_json({"error": str(e)}, 400)
             self._send_json({"error": "unknown path"}, 404)
 

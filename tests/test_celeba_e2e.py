@@ -11,14 +11,15 @@ from tests.conftest import make_config
 
 
 def _celeba_config(tmp_path, **overrides):
-    cfg = make_config(
+    base = dict(
         exp_name="celeba", dim_input_x=128, dim_input_y=128,
         dim_input_channel=3, num_hidden_units=16, code_size=16,
         batch_size=8, num_epochs=1, sg_pretraining=0,
         n_MC_samples=2, n_mixtures=3, num_iter_to_plot=0,
         synthetic_n_train=32, synthetic_n_val=16, synthetic_n_test=8,
-        enable_plots=0, data_path=str(tmp_path / "celeba") + "/",
-        **overrides)
+        enable_plots=0, data_path=str(tmp_path / "celeba") + "/")
+    base.update(overrides)
+    cfg = make_config(**base)
     cfg["result_dir"] = str(tmp_path / "result") + "/"
     cfg["checkpoint_dir"] = str(tmp_path / "checkpoint") + "/"
     return cfg
@@ -57,3 +58,31 @@ def test_celeba_staircase_lr():
     assert lr_ae_celeba(cfg, 26) == pytest.approx(5e-4 * 0.99)
     assert lr_ae_celeba(cfg, 51) == pytest.approx(2e-4 * 0.99)
     assert lr_ae_celeba(cfg, 76) == pytest.approx(1e-4 * 0.99)
+
+
+@pytest.mark.slow
+def test_celeba_mid_epoch_checkpoints_with_multi_step(tmp_path, monkeypatch):
+    """Regression: with steps_per_call>1 the mid-epoch reconstruction
+    checkpoints (trainers.py:156-158) must still fire — the hook receives
+    the dispatch window and matches every checkpoint index inside it."""
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.celeba import CelebAData
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.celeba_trainer import CelebATrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    cfg = _celeba_config(tmp_path, prior="standard_gaussian",
+                         num_iter_to_plot=2, enable_plots=1,
+                         steps_per_call=2)
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+    data = CelebAData(cfg)
+    model = make_model(cfg)
+    trainer = CelebATrainer(model, data, cfg)
+    # 32 train / batch 8 = 4 steps; checkpoints at indices 0 and 2 — both
+    # inside K=2 dispatch windows, neither at a window's last index
+    assert list(trainer.idx_check_point) == [0, 2]
+    trainer.train()
+
+    pdfs = [f for f in os.listdir(cfg["result_dir"])
+            if "interleaved" in f or "recon" in f]
+    assert len(pdfs) >= 2, pdfs

@@ -169,5 +169,16 @@ def test_http_endpoint(served):
                 timeout=60) as r:
             gen = np.load(io.BytesIO(r.read()))
         assert gen.shape == (2, 28, 28, 1)
+
+        # malformed body -> clean HTTP 400, not a reset connection
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct", data=b"not-an-npy",
+            headers={"Content-Type": "application/x-npy"})
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+            assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()

@@ -196,3 +196,33 @@ def test_celeba_decoder_fused_upsample_parity():
     out_fused = dec_fused.apply(params, z)
     np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                atol=2e-4, rtol=1e-4)
+
+
+def test_fused_upconv_non_square():
+    """The batched boundary corrections treat rows and columns through
+    separate grouped convs; non-square inputs catch any h/w mix-up."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.ops.image import conv3x3_up2x_tf1, resize_bilinear_tf1
+
+    rng = np.random.default_rng(7)
+    for h, w in [(3, 5), (6, 4)]:
+        x = jnp.asarray(rng.standard_normal((2, h, w, 3)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 3, 4)) * 0.3, jnp.float32)
+
+        def ref_fn(x, k):
+            return jax.lax.conv_general_dilated(
+                resize_bilinear_tf1(x, 2 * h, 2 * w), k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        np.testing.assert_allclose(
+            np.asarray(conv3x3_up2x_tf1(x, k)), np.asarray(ref_fn(x, k)),
+            atol=1e-4, rtol=1e-5)
+        for argnum in (0, 1):
+            g_ref = jax.grad(lambda *a: jnp.sum(ref_fn(*a) ** 2),
+                             argnum)(x, k)
+            g_got = jax.grad(lambda x, k: jnp.sum(
+                conv3x3_up2x_tf1(x, k) ** 2), argnum)(x, k)
+            np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                       atol=1e-3, rtol=1e-4)

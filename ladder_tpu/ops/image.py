@@ -170,12 +170,6 @@ def _decompose_kernel_5_T(dk5):
     return dk
 
 
-def _row_spec(n):
-    """Per-axis boundary-correction spec: (out_row, src_row, coef, W_tap)."""
-    return ((0, 0, -0.5, 0), (2 * n - 2, n - 1, 0.5, 2),
-            (2 * n - 1, n - 1, 0.5, 1))
-
-
 # The three per-axis corrections share structure: correction slot j fixes
 # output row p_j from source row (0, n-1, n-1)[j] through kernel tap
 # a_j = (0, 2, 1)[j] scaled by (-0.5, 0.5, 0.5)[j]. All three are computed

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from ladder_tpu.models.builder import (
+    PRIORS_WITH_GM,
     PRIORS_WITH_INNER_VAE,
     PRIORS_WITH_PRIOR_MODEL,
     make_model,
@@ -70,7 +71,8 @@ class InferenceEngine:
     """
 
     def __init__(self, config, checkpoint_dir=None, gm_info_path=None,
-                 serve_batch=64, dtype=None, mesh_devices=0):
+                 serve_batch=64, dtype=None, mesh_devices=0,
+                 allow_uninitialized=False):
         cfg = dict(config)
         if dtype is not None:
             cfg["dtype"] = dtype
@@ -84,6 +86,20 @@ class InferenceEngine:
         params = self.model.init(jax.random.PRNGKey(0))
         state = {"params": params}
         ck = CheckpointManager(cfg)
+        # Training-side load soft-fails (reference restore parity,
+        # base.py:68-85); a SERVING engine must not silently answer with
+        # random weights, so missing checkpoints are an error unless the
+        # caller opts out (benchmarks, smoke tests).
+        if not allow_uninitialized:
+            missing = [p for p in [ck.path_vae]
+                       + ([ck.path_prior]
+                          if self.prior in PRIORS_WITH_PRIOR_MODEL else [])
+                       if not os.path.isfile(p)]
+            if missing:
+                raise FileNotFoundError(
+                    "serving requires trained checkpoints; missing: "
+                    f"{missing} (pass allow_uninitialized=True to serve "
+                    "random-init weights anyway)")
         state = ck.load(state, "VAE")
         if self.prior in PRIORS_WITH_PRIOR_MODEL:
             state = ck.load(state, "prior")
@@ -101,7 +117,7 @@ class InferenceEngine:
 
     # -- artifact loading ----------------------------------------------
     def _load_gm(self, gm_info_path):
-        if self.prior not in ("ours", "GMM"):
+        if self.prior not in PRIORS_WITH_GM:
             return None
         path = gm_info_path or os.path.join(
             self.config["result_dir"], "GM_prior_info.npz")
@@ -111,7 +127,10 @@ class InferenceEngine:
         w = jnp.asarray(info["w_full"], jnp.float32)
         m = jnp.asarray(info["m_full"], jnp.float32)
         K = jnp.asarray(info["K_full"], jnp.float32)
-        return dict(weights=w, means=m, chols=gmm_cholesky(K, jitter=1e-6))
+        # jitter-free cholesky matches the trainer's sampling exactly
+        # (trainer.py sample_codes_from_prior); the fit itself already
+        # regularised the covariances.
+        return dict(weights=w, means=m, chols=gmm_cholesky(K))
 
     # -- compiled paths --------------------------------------------------
     def _jit(self, fn):
@@ -151,11 +170,15 @@ class InferenceEngine:
                 t_mean, t_std = model.inner_encode(params, mean)
                 return t_mean, t_std
 
-            def inner_decode(params, t):
-                return model.inner_decode(params, t)[0]
+            def decode_representation(params, t):
+                """t-space point -> image: inner decoder's mean code, then
+                the outer decoder (the demo's SLP-interpolation render
+                path, demo_tools.py)."""
+                z = model.inner_decode(params, t)[0]
+                return jnp.clip(model.decode(params, z), 0.0, 1.0)
 
             self._represent = self._jit(represent)
-            self._inner_decode = self._jit(inner_decode)
+            self._decode_representation = self._jit(decode_representation)
 
         # generation: rng-driven, params replicated; one fused program
         def gen_codes(params, rng, gm):
@@ -184,11 +207,21 @@ class InferenceEngine:
             return jnp.clip(model.decode(params, gen_codes(params, rng, gm)),
                             0.0, 1.0)
 
-        self._generate = jax.jit(generate)
-        if self.gm is not None:
+        # generate/t_logpdf take no batch-sharded INPUT; under a mesh the
+        # output sharding partitions the computation over the devices
+        if self.mesh is None:
+            self._generate = jax.jit(generate)
             self._t_logpdf = jax.jit(
                 lambda t, gm: gmm_logpdf(t, gm["weights"], gm["means"],
                                          gm["chols"]))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = NamedSharding(self.mesh, P("data"))
+            self._generate = jax.jit(generate, out_shardings=data)
+            self._t_logpdf = jax.jit(
+                lambda t, gm: gmm_logpdf(t, gm["weights"], gm["means"],
+                                         gm["chols"]),
+                in_shardings=(data, None), out_shardings=data)
 
     # -- public API -------------------------------------------------------
     def _run(self, name, fn, x, *rest):
@@ -220,12 +253,25 @@ class InferenceEngine:
             raise ValueError(f"prior {self.prior} has no t-space")
         return self._run("represent", self._represent, x)
 
+    def decode_representation(self, t):
+        """t-space points [N, representation_size] -> images in [0,1]
+        ('ours'/'hierarchical'): the SLP-interpolation render path."""
+        if self.prior not in PRIORS_WITH_INNER_VAE:
+            raise ValueError(f"prior {self.prior} has no t-space")
+        return self._run("decode_representation",
+                         self._decode_representation,
+                         np.asarray(t, np.float32))
+
     def generate(self, n, seed=0):
         """Sample n images from the configured prior (clipped to [0,1])."""
-        if self.prior in ("ours", "GMM") and self.gm is None:
+        if self.prior in PRIORS_WITH_GM and self.gm is None:
             raise ValueError("generation with prior='%s' needs "
                              "GM_prior_info.npz (run an accurate fit or pass "
                              "gm_info_path)" % self.prior)
+        cfg = self.config
+        if n <= 0:
+            return np.zeros((0, cfg["dim_input_x"], cfg["dim_input_y"],
+                             cfg["dim_input_channel"]), np.float32)
         out = []
         rng = jax.random.PRNGKey(seed)
         remaining = n
@@ -244,16 +290,23 @@ class InferenceEngine:
                                          self.gm))
 
     def warmup(self):
-        """Compile every path at the serve shape; returns seconds taken."""
+        """Compile every path at the serve shape — in BOTH accepted image
+        dtypes (uint8 and float32 trace to different programs); returns
+        seconds taken."""
         cfg = self.config
         t0 = time.perf_counter()
-        x = np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
-                      cfg["dim_input_channel"]), np.float32)
-        self.encode(x)
-        self.reconstruct(x)
+        for x in (np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
+                            cfg["dim_input_channel"]), np.float32),
+                  np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
+                            cfg["dim_input_channel"]), np.uint8)):
+            self.encode(x)
+            self.reconstruct(x)
+            if self.prior in PRIORS_WITH_INNER_VAE:
+                self.represent(x)
         self.decode(np.zeros((1, cfg["code_size"]), np.float32))
         if self.prior in PRIORS_WITH_INNER_VAE:
-            self.represent(x)
+            self.decode_representation(
+                np.zeros((1, cfg["representation_size"]), np.float32))
         try:
             self.generate(1)
         except ValueError:

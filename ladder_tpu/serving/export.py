@@ -33,6 +33,12 @@ def export_inference(engine, out_dir, names=None):
     defaults to every path the prior supports. Shapes are the engine's
     fixed serve_batch — the same static-shape contract serving uses.
     """
+    if engine.mesh is not None:
+        raise ValueError(
+            "export_inference requires a single-device engine: a concrete "
+            "device mesh would be baked into the artifact and bind it to "
+            "that device count. Build the engine with mesh_devices=0 for "
+            "export; consumers can re-shard the loaded callable themselves.")
     cfg = engine.config
     os.makedirs(out_dir, exist_ok=True)
     b = engine.serve_batch
@@ -48,6 +54,10 @@ def export_inference(engine, out_dir, names=None):
     }
     if hasattr(engine, "_represent"):
         paths["represent"] = (engine._represent, img)
+        paths["decode_representation"] = (
+            engine._decode_representation,
+            jax.ShapeDtypeStruct((b, cfg["representation_size"]),
+                                 jnp.float32))
 
     params = engine.params
     written = {}
@@ -63,11 +73,19 @@ def export_inference(engine, out_dir, names=None):
 
 
 def load_exported(path):
-    """Deserialize one .jaxexport artifact -> a plain callable."""
+    """Deserialize one .jaxexport artifact -> a plain callable.
+
+    Artifacts are traced with float32 inputs (images in [0,1]); the loader
+    normalises uint8 inputs to [0,1] before calling so the engine's input
+    contract ('uint8 or [0,1] float') holds for exported paths too — the
+    graph itself has the uint8 branch baked out."""
     with open(path, "rb") as f:
         exp = jexport.deserialize(f.read())
 
     def call(x):
-        return exp.call(jnp.asarray(x, jnp.float32))
+        x = jnp.asarray(x)
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return exp.call(x.astype(jnp.float32))
 
     return call

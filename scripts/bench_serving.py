@@ -71,7 +71,8 @@ def main():
     enable_compilation_cache()
     cfg = process_config(args.config)
     engine = InferenceEngine(cfg, serve_batch=args.batch, dtype=args.dtype,
-                             mesh_devices=args.mesh)
+                             mesh_devices=args.mesh,
+                             allow_uninitialized=True)
     cfgd = engine.config
     rng = np.random.default_rng(0)
     x = rng.integers(0, 256, (args.batch, cfgd["dim_input_x"],

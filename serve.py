@@ -23,11 +23,22 @@ from __future__ import annotations
 import argparse
 import io
 import json
+import os
 import sys
 
 sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour a CPU
+# request explicitly (same guard as __graft_entry__.py).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def _load_array(path):
@@ -108,6 +119,9 @@ def main(argv=None):
     ap.add_argument("--dtype", default=None,
                     choices=[None, "float32", "bfloat16"])
     ap.add_argument("--mesh", type=int, default=0)
+    ap.add_argument("--allow-uninitialized", action="store_true",
+                    help="serve random-init weights when checkpoints are "
+                         "missing (smoke tests only)")
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reconstruct", default=None)
@@ -124,7 +138,8 @@ def main(argv=None):
     engine = InferenceEngine(
         cfg, checkpoint_dir=args.checkpoint_dir, gm_info_path=args.gm_info,
         serve_batch=args.serve_batch, dtype=args.dtype,
-        mesh_devices=args.mesh)
+        mesh_devices=args.mesh,
+        allow_uninitialized=args.allow_uninitialized)
 
     if args.export:
         written = export_inference(engine, args.export)

@@ -182,3 +182,55 @@ def test_http_endpoint(served):
             assert "error" in json.loads(e.read())
     finally:
         httpd.shutdown()
+
+
+def test_engine_requires_checkpoints(tmp_path):
+    """A serving engine must refuse to silently serve random-init weights."""
+    from ladder_tpu.serving import InferenceEngine
+
+    cfg = tiny_config(tmp_path / "empty")  # dirs exist, no checkpoints
+    with pytest.raises(FileNotFoundError, match="allow_uninitialized"):
+        InferenceEngine(cfg, serve_batch=8)
+    # escape hatch for benches/smoke tests
+    eng = InferenceEngine(cfg, serve_batch=8, allow_uninitialized=True)
+    assert eng.reconstruct(np.zeros((1, 28, 28, 1), np.float32)).shape == \
+        (1, 28, 28, 1)
+
+
+def test_decode_representation_and_generate_edge_cases(served):
+    cfg, model, params, engine = served
+    t = np.random.default_rng(8).standard_normal(
+        (3, cfg["representation_size"])).astype(np.float32)
+    imgs = engine.decode_representation(t)
+    import jax.numpy as jnp
+    z = np.asarray(model.inner_decode(params, jnp.asarray(t))[0])
+    ref = np.clip(np.asarray(model.decode(params, jnp.asarray(z))), 0, 1)
+    np.testing.assert_allclose(imgs, ref, rtol=1e-5, atol=1e-5)
+
+    empty = engine.generate(0)
+    assert empty.shape == (0, 28, 28, 1)
+
+
+def test_export_uint8_contract_and_mesh_guard(served, tmp_path):
+    """Exported artifacts keep the engine's uint8-or-float input contract
+    (the loader normalises), and mesh engines refuse to export."""
+    cfg, model, params, engine = served
+    from ladder_tpu.serving import (
+        InferenceEngine,
+        export_inference,
+        load_exported,
+    )
+
+    written = export_inference(engine, str(tmp_path / "exp8"),
+                               names=("reconstruct",))
+    x8 = np.random.default_rng(9).integers(
+        0, 256, (8, 28, 28, 1)).astype(np.uint8)
+    got = np.asarray(load_exported(written["reconstruct"])(x8))
+    np.testing.assert_allclose(got, engine.reconstruct(x8), rtol=1e-5,
+                               atol=1e-5)
+
+    import jax
+    if len(jax.devices()) >= 8:
+        sharded = InferenceEngine(cfg, serve_batch=8, mesh_devices=8)
+        with pytest.raises(ValueError, match="single-device"):
+            export_inference(sharded, str(tmp_path / "expm"))

@@ -7,6 +7,7 @@ underneath: jitted fused train step, on-device GM fitting, optional
 data-parallel mesh (config['mesh_shape']).
 """
 
+import os
 import sys
 
 from ladder_tpu.utils.config import (
@@ -15,6 +16,16 @@ from ladder_tpu.utils.config import (
     process_config,
     save_config,
 )
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour a CPU
+# request explicitly (same guard as __graft_entry__.py).
+if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
 
 
 def main(argv=None):

@@ -25,13 +25,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(config=None, devices=None, axis_name="data"):
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(config=None, devices=None, axis_name=None):
+    """1-D data-parallel mesh over all (or the given) devices. The axis
+    name comes from config['data_axis'] when a config is given, so the knob
+    threads through consistently (shard_batch defaults to the mesh's own
+    axis)."""
     devices = devices if devices is not None else jax.devices()
-    if config is not None and config.get("mesh_shape"):
-        n = int(np.prod(config["mesh_shape"]))
-        devices = devices[:n]
-    return Mesh(np.asarray(devices), (axis_name,))
+    if config is not None:
+        if config.get("mesh_shape"):
+            n = int(np.prod(config["mesh_shape"]))
+            devices = devices[:n]
+        axis_name = axis_name or config.get("data_axis")
+    return Mesh(np.asarray(devices), (axis_name or "data",))
 
 
 def replicate(tree, mesh):
@@ -46,20 +51,21 @@ def shard_state(state, mesh):
     return replicate(state, mesh)
 
 
-def shard_batch(batch, mesh, axis_name="data"):
-    """Shard the batch's leading axis across the mesh."""
-    sharding = NamedSharding(mesh, P(axis_name))
+def shard_batch(batch, mesh, axis_name=None):
+    """Shard the batch's leading axis across the mesh (over the mesh's own
+    axis by default, so a custom data_axis threads through automatically)."""
+    sharding = NamedSharding(mesh, P(axis_name or mesh.axis_names[0]))
     return jax.device_put(batch, sharding)
 
 
-def global_batch_from_local(local_batch, mesh, axis_name="data"):
+def global_batch_from_local(local_batch, mesh, axis_name=None):
     """Multi-process input sharding: each process contributes its local
     slice of the global batch (jax.make_array_from_process_local_data —
     SURVEY.md §5 distributed-backend design). Single-process falls back to
     shard_batch."""
     if jax.process_count() == 1:
         return shard_batch(local_batch, mesh, axis_name)
-    sharding = NamedSharding(mesh, P(axis_name))
+    sharding = NamedSharding(mesh, P(axis_name or mesh.axis_names[0]))
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 

@@ -39,7 +39,11 @@ class CelebATrainer(JointTrainer):
     def sample_batches(self, n_samples):
         bs = self.config["batch_size"]
         n_batch = max(n_samples // bs, 1)
-        gen = self.data.train.epoch(bs, seed=self.cur_epoch * 7919 + 1)
+        # prefetch=False: this iterator is abandoned after n_batch of a full
+        # epoch, and the Prefetcher worker has no cancellation — each GM fit
+        # would otherwise leak a blocked thread + its buffered batches
+        gen = self.data.train.epoch(bs, seed=self.cur_epoch * 7919 + 1,
+                                    prefetch=False)
         for i, b in enumerate(gen):
             if i >= n_batch:
                 return
@@ -53,6 +57,22 @@ class CelebATrainer(JointTrainer):
 
     def n_val_iter(self):
         return max(self.data.n_val // self.config["batch_size"], 1)
+
+    def val_vae_enabled(self):
+        """CelebA gates VAE validation on TRAIN_VAE (trainers.py:180)."""
+        return self.config["TRAIN_VAE"] == 1
+
+    def val_prior_enabled(self):
+        """CelebA additionally gates the prior val record on TRAIN_prior
+        (trainers.py:183)."""
+        return self.config["TRAIN_prior"] == 1
+
+    def append_val_average(self, val_loss_sum, n_val):
+        """CelebA divides by n_val_iter unconditionally (trainers.py:186):
+        with TRAIN_VAE=0 the epoch average is recorded as 0.0, exactly as
+        the reference does."""
+        self.metrics.val_loss_ave_epoch.append(
+            val_loss_sum / self.n_val_iter())
 
     def mid_epoch_hook(self, idx_iter, span=1):
         """Reconstruction snapshots at checkpoints inside the epoch

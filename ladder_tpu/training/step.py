@@ -255,7 +255,7 @@ def _make_single_pass_step(model, jit=True):
                 return m["loss_prior"], m
 
             psub = _subset(params, prior_keys)
-            (_, metrics_p), pgrads = jax.value_and_grad(
+            (_, _), pgrads = jax.value_and_grad(
                 prior_loss_fn, has_aux=True)(psub)
             for name in prior_names:
                 keys = groups[name]
@@ -323,11 +323,21 @@ def make_eval_step(model, jit=True):
 
 
 def make_forward_fns(model):
-    """Jitted pure inference helpers used by trainers/demos."""
+    """Jitted pure inference helpers used by trainers/demos. Image inputs
+    may be uint8 (the CelebA pipeline's wire format) — normalised here
+    exactly as compute_loss does, so encodings never depend on callers
+    remembering the /255 (losses.py:63-64; today the CelebA encoder's
+    conv->BatchNorm head happens to be scale/shift-invariant, but that is
+    an architectural accident no caller should rely on)."""
+
+    def _norm(x):
+        if x.dtype == jnp.uint8:
+            x = x.astype(jnp.float32) * (1.0 / 255.0)
+        return x
 
     @jax.jit
     def encode(params, x):
-        return model.encode(params, x)
+        return model.encode(params, _norm(x))
 
     @jax.jit
     def decode(params, z):
@@ -336,7 +346,7 @@ def make_forward_fns(model):
     @jax.jit
     def encode_sample(params, x, rng):
         from ladder_tpu.ops.distributions import sample_diag_gaussian
-        mean, std = model.encode(params, x)
+        mean, std = model.encode(params, _norm(x))
         return sample_diag_gaussian(rng, mean, std)
 
     fns = dict(encode=encode, decode=decode, encode_sample=encode_sample)
@@ -354,7 +364,7 @@ def make_forward_fns(model):
         def representation_sample(params, x, rng):
             from ladder_tpu.ops.distributions import sample_diag_gaussian
             r1, r2 = jax.random.split(rng)
-            mean, std = model.encode(params, x)
+            mean, std = model.encode(params, _norm(x))
             z = sample_diag_gaussian(r1, mean, std)
             t_mean, t_std = model.inner_encode(params, z)
             return sample_diag_gaussian(r2, t_mean, t_std)

@@ -140,8 +140,7 @@ class JointTrainer:
             x = np.stack([np.asarray(b) for b in batches])
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            s = NamedSharding(self.mesh,
-                              P(None, self.config.get("data_axis", "data")))
+            s = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
             return jax.device_put(x, s)
         return jnp.asarray(x)
 
@@ -149,8 +148,9 @@ class JointTrainer:
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec as P
-        return NamedSharding(self.mesh, P(self.config.get("data_axis",
-                                                          "data")))
+        # the mesh's own axis name — config['data_axis'] threads through
+        # make_mesh, so every sharding site stays consistent with it
+        return NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
 
     def _gm_for_step(self):
         """Device GM pytree fed to the train step (compute_feeddict parity,
@@ -207,6 +207,7 @@ class JointTrainer:
         resume trains exactly num_epochs - cur_epoch more epochs — the total
         across crash+resume equals num_epochs."""
         self.start_time = time.time()
+        self._session_start_epoch = self.cur_epoch  # for the time estimate
         for _ in range(max(0, self.config["num_epochs"] - self.cur_epoch)):
             self.train_epoch()
             if self.prior in PRIORS_WITH_PRIOR_MODEL:
@@ -299,7 +300,9 @@ class JointTrainer:
             if do_prior and "prior" in out:
                 self.metrics.record_prior_step(out["prior"], self.prior)
 
-        for k, out in [(k, jax.device_get(o)) for k, o in outs]:
+        # ONE device_get for the whole epoch's metric pytrees (per-item
+        # gets would pay a host round-trip per step on remote links)
+        for k, out in jax.device_get(outs):
             if k == 1:
                 _record(out)
             else:
@@ -324,10 +327,16 @@ class JointTrainer:
         # fixed-test-batch diagnostics
         self.test_step(self.test_batch(), print_result=True)
 
-        # validation loop
+        # validation loop; the VAE/prior recording gates differ between the
+        # reference's two trainers (trainers.py:55-67 vs 175-186) — see the
+        # val_vae_enabled/val_prior_enabled hooks
         val_loss_cur_epoch = 0.0
         n_val = 0
         gm = self._gm_for_step()
+        run_vae_val = self.val_vae_enabled()
+        run_prior_val = (self.cur_epoch > cfg["sg_pretraining"] - 1
+                         and self.prior in PRIORS_WITH_PRIOR_MODEL
+                         and self.val_prior_enabled())
         # same epoch-lazy pattern as training: no per-batch host sync
         val_outs = []
         for batch in self.val_batches():
@@ -335,15 +344,13 @@ class JointTrainer:
                 self.state["params"], self._place(batch), self._next_rng(),
                 gm, flags))
         for m in jax.device_get(val_outs):
-            if cfg["TRAIN_VAE"] == 1:
+            if run_vae_val:
                 val_loss_cur_epoch += self.metrics.record_val_step(
                     m, "VAE", self.prior)
                 n_val += 1
-            if (self.cur_epoch > cfg["sg_pretraining"] - 1
-                    and self.prior in PRIORS_WITH_PRIOR_MODEL):
+            if run_prior_val:
                 self.metrics.record_val_step(m, "prior", self.prior)
-        if n_val:
-            self.metrics.val_loss_ave_epoch.append(val_loss_cur_epoch / n_val)
+        self.append_val_average(val_loss_cur_epoch, n_val)
         if cfg["TRAIN_VAE"] == 1 and self.metrics.train_loss_ave_epoch:
             print("Average overall negative ELBO loss:\ntrain: {:.4f}, "
                   "val: {:.4f}".format(
@@ -371,6 +378,22 @@ class JointTrainer:
                     and cfg["TRAIN_prior"] == 1):
                 plotting.plot_train_and_val_loss_prior(
                     self.metrics, cfg["result_dir"], self.prior)
+
+    def val_vae_enabled(self):
+        """MNIST runs the VAE val_step unconditionally (trainers.py:62);
+        CelebA gates it on TRAIN_VAE (trainers.py:180) — overridden there."""
+        return True
+
+    def val_prior_enabled(self):
+        """Extra per-dataset gate on the prior val record: MNIST has none
+        (trainers.py:63-64); CelebA adds TRAIN_prior==1 (trainers.py:183)."""
+        return True
+
+    def append_val_average(self, val_loss_sum, n_val):
+        """MNIST appends sum/n_val of the recorded VAE val losses
+        (trainers.py:66); guarded for an empty val set."""
+        if n_val:
+            self.metrics.val_loss_ave_epoch.append(val_loss_sum / n_val)
 
     def mid_epoch_hook(self, idx_iter, span=1):
         """CelebA mid-epoch reconstruction checkpoints (trainers.py:156-158);
@@ -638,8 +661,14 @@ class JointTrainer:
         current = time.time()
         elapsed = (current - self.start_time) / 60
         print("Already trained for {} min.".format(elapsed))
-        est = (current - self.start_time) / (cur_epoch + 1) * total_epoch
-        print("Remaining {} min.\n".format(est / 60 - elapsed))
+        # rate from THIS session's epochs only: after a crash-resume,
+        # start_time restarts but cur_epoch doesn't (base.py:572-581 has no
+        # resume, so the reference never hits this)
+        done = max(cur_epoch + 1 - getattr(self, "_session_start_epoch", 0),
+                   1)
+        remaining_epochs = max(total_epoch - (cur_epoch + 1), 0)
+        est = (current - self.start_time) / done * remaining_epochs
+        print("Remaining {} min.\n".format(est / 60))
 
     def save_full_state(self):
         from ladder_tpu.utils.metrics import BUFFER_NAMES

@@ -86,3 +86,35 @@ def test_celeba_mid_epoch_checkpoints_with_multi_step(tmp_path, monkeypatch):
     pdfs = [f for f in os.listdir(cfg["result_dir"])
             if "interleaved" in f or "recon" in f]
     assert len(pdfs) >= 2, pdfs
+
+
+@pytest.mark.slow
+def test_val_gating_parity_train_vae_off(tmp_path, monkeypatch):
+    """Reference parity of the validation gates: MNIST records VAE val
+    curves even with TRAIN_VAE=0 (trainers.py:62-66 has no gate); CelebA
+    gates on TRAIN_VAE but still appends the 0.0 epoch average
+    (trainers.py:180-186)."""
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.celeba import CelebAData
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.celeba_trainer import CelebATrainer
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    cfg = _celeba_config(tmp_path, prior="standard_gaussian", TRAIN_VAE=0)
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+    trainer = CelebATrainer(make_model(cfg), CelebAData(cfg), cfg)
+    trainer.train()
+    assert trainer.metrics.val_loss_ave_epoch == [0.0]
+
+    mcfg = make_config(prior="standard_gaussian", TRAIN_VAE=0, num_epochs=1,
+                       sg_pretraining=0)
+    mcfg["result_dir"] = str(tmp_path / "mresult") + "/"
+    mcfg["checkpoint_dir"] = str(tmp_path / "mckpt") + "/"
+    create_dirs([mcfg["result_dir"], mcfg["checkpoint_dir"]])
+    mtrainer = MNISTTrainer(make_model(mcfg), DataGenerator(mcfg), mcfg)
+    mtrainer.train()
+    assert len(mtrainer.metrics.val_loss_ave_epoch) == 1
+    assert np.isfinite(mtrainer.metrics.val_loss_ave_epoch[0])
+    assert mtrainer.metrics.val_loss_ave_epoch[0] != 0.0

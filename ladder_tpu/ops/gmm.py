@@ -33,13 +33,22 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.special import digamma
 
+# A mixture component counts as "active" when its posterior weight exceeds
+# this (the reference's pruning constant, base.py:769-777). Single source of
+# truth for the trainer report, the prior plots and GM_prior_info.npz.
+ACTIVE_WEIGHT_THRESHOLD = 1e-2
+
 
 class GMMFit(NamedTuple):
     """Fitted mixture in sklearn-compatible form."""
     weights: jnp.ndarray      # [K]
     means: jnp.ndarray        # [K,D]
     covariances: jnp.ndarray  # [K,D,D]
-    lower_bound: jnp.ndarray  # scalar; ELBO (VI) or mean log-lik (EM)
+    lower_bound: jnp.ndarray  # scalar convergence/selection objective:
+    #   EM fits: mean log-likelihood; VI fits: sklearn's
+    #   _compute_lower_bound objective (resp entropy minus Wishart/weight/
+    #   mean-precision normalisers, constants dropped) — the SAME quantity
+    #   BayesianGaussianMixture uses for convergence and n_init selection
     n_iter: jnp.ndarray       # scalar int
     converged: jnp.ndarray    # scalar bool
 
@@ -251,8 +260,40 @@ def _vi_e_step(x, post, dp):
                - 0.5 * quad
                - 0.5 * d * jnp.log(2 * jnp.pi))
     log_norm = jax.nn.logsumexp(log_rho, axis=1)
-    resp = jnp.exp(log_rho - log_norm[:, None])
-    return resp, jnp.mean(log_norm)
+    log_resp = log_rho - log_norm[:, None]
+    resp = jnp.exp(log_resp)
+    # responsibility entropy -sum resp*log_resp (xlogy handles resp -> 0)
+    from jax.scipy.special import xlogy
+    ent = -jnp.sum(xlogy(resp, resp))
+    return resp, jnp.mean(log_norm), ent
+
+
+def _sk_lower_bound(post, ent, d, dp):
+    """sklearn's convergence objective (_compute_lower_bound): the
+    responsibility entropy minus the Wishart/weight/mean-precision
+    normalisers (constants dropped, exactly as sklearn does). Using the
+    same objective makes BOTH convergence detection and best-of-n_init
+    restart selection match BayesianGaussianMixture — the mean E-step
+    log-normaliser alone plateaus early on multi-modal inits while the
+    DP prior is still pruning components."""
+    from jax.scipy.special import betaln, gammaln
+
+    pc = _precision_chol(post.winv / post.nu[:, None, None])
+    ldpc = (jnp.sum(jnp.log(jnp.abs(jnp.diagonal(pc, axis1=1, axis2=2))),
+                    axis=1)
+            - 0.5 * d * jnp.log(post.nu))
+    i = jnp.arange(d, dtype=post.nu.dtype)
+    log_wishart = -(post.nu * ldpc
+                    + post.nu * d * 0.5 * jnp.log(2.0)
+                    + jnp.sum(gammaln(0.5 * (post.nu[:, None] - i[None, :])),
+                              axis=1))
+    if dp:
+        log_norm_weight = -jnp.sum(betaln(post.wc1, post.wc2))
+    else:
+        log_norm_weight = (gammaln(jnp.sum(post.wc1))
+                           - jnp.sum(gammaln(post.wc1)))
+    return (ent - jnp.sum(log_wishart) - log_norm_weight
+            - 0.5 * d * jnp.sum(jnp.log(post.beta)))
 
 
 @functools.partial(jax.jit,
@@ -274,7 +315,12 @@ def fit_bgmm(rng, x, k, max_iter=1000, tol=1e-3, reg_covar=1e-6,
     nu0 = float(d)
     xc = x - m0[None, :]
     cov_x = (xc.T @ xc) / (n - 1) + reg_covar * jnp.eye(d, dtype=x.dtype)
-    w0inv = cov_x * nu0  # covariance_prior scaled into the Wishart inv-scale
+    # sklearn's covariance_prior_ (the Wishart inverse-scale W0^-1) defaults
+    # to cov(X) UNSCALED and is added as-is in _estimate_wishart_full; the
+    # round-1 code multiplied by nu0, inflating posterior covariances by a
+    # factor growing with D (measured 37% at D=2 on a two-cluster fit;
+    # unscaled matches sklearn to ~1e-6).
+    w0inv = cov_x
     prior = (weight_concentration_prior, beta0, m0, nu0, w0inv,
              dirichlet_process)
 
@@ -284,21 +330,23 @@ def fit_bgmm(rng, x, k, max_iter=1000, tol=1e-3, reg_covar=1e-6,
         resp = init_resp
 
     post, _ = _vi_m_step(x, resp, prior, reg_covar)
-    resp, ll = _vi_e_step(x, post, dirichlet_process)
+    resp, _, ent = _vi_e_step(x, post, dirichlet_process)
+    lb = _sk_lower_bound(post, ent, d, dirichlet_process)
 
     def cond(state):
-        _, _, it, prev_ll, ll, done = state
+        _, _, it, lb, done = state
         return (~done) & (it < max_iter)
 
     def body(state):
-        post, resp, it, prev_ll, ll, _ = state
+        post, resp, it, lb, _ = state
         post, _ = _vi_m_step(x, resp, prior, reg_covar)
-        resp, new_ll = _vi_e_step(x, post, dirichlet_process)
-        done = jnp.abs(new_ll - ll) < tol
-        return (post, resp, it + 1, ll, new_ll, done)
+        resp, _, ent = _vi_e_step(x, post, dirichlet_process)
+        new_lb = _sk_lower_bound(post, ent, d, dirichlet_process)
+        done = jnp.abs(new_lb - lb) < tol
+        return (post, resp, it + 1, new_lb, done)
 
-    state = (post, resp, jnp.asarray(0), -jnp.inf, ll, jnp.asarray(False))
-    post, resp, it, _, ll, done = jax.lax.while_loop(cond, body, state)
+    state = (post, resp, jnp.asarray(0), lb, jnp.asarray(False))
+    post, resp, it, lb, done = jax.lax.while_loop(cond, body, state)
 
     if dirichlet_process:
         g1, g2 = post.wc1, post.wc2
@@ -311,12 +359,12 @@ def fit_bgmm(rng, x, k, max_iter=1000, tol=1e-3, reg_covar=1e-6,
         weights = post.wc1 / jnp.sum(post.wc1)
 
     covariances = post.winv / post.nu[:, None, None]
-    return GMMFit(weights, post.m, covariances, ll, it, done), resp
+    return GMMFit(weights, post.m, covariances, lb, it, done), resp
 
 
 def fit_bgmm_restarts(rng, x, k, n_init=1, **kwargs):
-    """n_init independent fits; keep the best lower bound
-    (GM_fit_restart, base.py:743)."""
+    """n_init independent fits; keep the best per GMMFit.lower_bound —
+    sklearn's own n_init selection objective (GM_fit_restart, base.py:743)."""
     best = None
     for r in jax.random.split(rng, n_init):
         fit, resp = fit_bgmm(r, x, k, **kwargs)

@@ -70,12 +70,15 @@ def global_batch_from_local(local_batch, mesh, axis_name=None):
 
 
 def pad_to_multiple(batch, multiple):
-    """Pad the leading axis up to a device-count multiple (repeat-edge), and
-    return (padded, real_count) so callers can unweight if needed."""
+    """Pad the leading axis up to a device-count multiple by tiling the
+    batch, and return (padded, real_count) so callers can unweight. Handles
+    batches smaller than the multiple (e.g. a final val batch of 5 on an
+    8-device mesh)."""
     n = batch.shape[0]
     rem = n % multiple
     if rem == 0:
         return batch, n
     pad = multiple - rem
-    reps = batch[:pad]
-    return np.concatenate([batch, reps], axis=0), n
+    tiles = [batch] + [batch[:min(n, pad - i * n)]
+                       for i in range(-(-pad // n))]
+    return np.concatenate(tiles, axis=0), n

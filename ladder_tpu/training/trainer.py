@@ -420,8 +420,9 @@ class JointTrainer:
         return jnp.concatenate(outs, axis=0)
 
     def _report_active(self, weights):
+        from ladder_tpu.ops.gmm import ACTIVE_WEIGHT_THRESHOLD
         w = np.asarray(weights)
-        idx = np.where(w >= 1e-2)[0]
+        idx = np.where(w >= ACTIVE_WEIGHT_THRESHOLD)[0]
         if len(idx) == 0:
             print("There are 0 active mixtures.")
         else:

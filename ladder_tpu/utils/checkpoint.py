@@ -134,9 +134,13 @@ class CheckpointManager:
             return ckptr.restore(path)
 
 
-def save_gm_prior_info(result_dir, weights, means, covs, active_threshold=1e-2):
+def save_gm_prior_info(result_dir, weights, means, covs,
+                       active_threshold=None):
     """Persist the accurate GM fit as GM_prior_info.npz with both active-only
     (renormalised) and full parameter sets (base.py:768-777)."""
+    if active_threshold is None:
+        from ladder_tpu.ops.gmm import ACTIVE_WEIGHT_THRESHOLD
+        active_threshold = ACTIVE_WEIGHT_THRESHOLD
     w = np.asarray(weights)
     m = np.asarray(means)
     K = np.asarray(covs)

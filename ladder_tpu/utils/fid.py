@@ -71,26 +71,52 @@ def resize_images_np(images, size):
     return np.asarray(resize_bilinear_tf1(jnp.asarray(images), size, size))
 
 
+def _torchvision_normalize(images_pm1):
+    """[-1,1] host arrays (the reference's keras preprocessing convention,
+    utils.py:151-162) -> NCHW torch tensors normalised the way the
+    torchvision ImageNet weights were trained (per-channel mean/std). The
+    keras backbones consumed [-1,1] directly; feeding that distribution to
+    torchvision weights would shift every activation, so scores from these
+    extractors are standard torchvision-FID numbers rather than
+    bit-compatible with the reference's keras-FID (unreproducible offline)."""
+    import torch
+
+    mean = np.asarray([0.485, 0.456, 0.406], np.float32)
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    x01 = (images_pm1 + 1.0) * 0.5
+    x = (x01 - mean[None, None, None, :]) / std[None, None, None, :]
+    return torch.from_numpy(
+        np.transpose(x, (0, 3, 1, 2)).astype(np.float32))
+
+
 def inception_feature_fn(pooling="avg"):
     """Build an InceptionV3 pool-feature extractor if pretrained weights are
     available locally (torchvision or keras caches). Raises RuntimeError with
-    guidance otherwise."""
+    guidance otherwise. pooling: 'avg' (global average, the torchvision
+    head) or 'max' (reference's pooling_option, utils.py:169)."""
     try:
         import torch
         import torchvision  # noqa: F401
         from torchvision.models import Inception_V3_Weights, inception_v3
 
-        net = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+        # transform_input=False: the weights' builder would otherwise remap
+        # the (already normalised) channels a second time
+        net = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1,
+                           transform_input=False)
+        if pooling == "max":
+            net.avgpool = torch.nn.AdaptiveMaxPool2d((1, 1))
+        elif pooling != "avg":
+            raise ValueError(f"pooling must be 'avg' or 'max': {pooling!r}")
         net.fc = torch.nn.Identity()
         net.eval()
 
         def feature_fn(images):
             with torch.no_grad():
-                x = torch.from_numpy(
-                    np.transpose(images, (0, 3, 1, 2)).astype(np.float32))
-                return net(x).numpy()
+                return net(_torchvision_normalize(images)).numpy()
 
         return feature_fn
+    except ValueError:
+        raise
     except Exception as e:
         raise RuntimeError(
             "No pretrained InceptionV3 available locally (torchvision "
@@ -115,9 +141,7 @@ def vgg16_feature_fn(pooling="avg"):
 
         def feature_fn(images):
             with torch.no_grad():
-                x = torch.from_numpy(
-                    np.transpose(images, (0, 3, 1, 2)).astype(np.float32))
-                f = features(x)                       # [N,512,h,w]
+                f = features(_torchvision_normalize(images))  # [N,512,h,w]
                 if pooling == "avg":
                     f = f.mean(dim=(2, 3))
                 elif pooling == "max":

@@ -104,8 +104,11 @@ def plot_interleaved_recon(gt_images, images, result_dir, cur_epoch, idx_iter,
 
 def plot_prior_distribution(samples, weights, means, covs, result_dir,
                             cur_epoch, mode="crude-GM", style="circle",
-                            axis_scale=10, active_threshold=1e-2):
+                            axis_scale=10, active_threshold=None):
     """2-D t-space scatter+ellipses or log-density image (base.py:1012-1063)."""
+    if active_threshold is None:
+        from ladder_tpu.ops.gmm import ACTIVE_WEIGHT_THRESHOLD
+        active_threshold = ACTIVE_WEIGHT_THRESHOLD
     samples = np.asarray(samples)
     w, m, K = np.asarray(weights), np.asarray(means), np.asarray(covs)
     idx = [int(i) for i in np.where(w >= active_threshold)[0]]

@@ -29,7 +29,6 @@ def get_embeddings_from_val_set(idx, config, trainer, x=None, save_plot=False):
     fwd = trainer.fwd
     x_j = jnp.asarray(x)
     if config["prior"] in ("ours", "hierarchical"):
-        mean, _ = fwd["encode"](params, x_j)
         z = fwd["encode_sample"](params, x_j, trainer._next_rng())
         t_mean, _ = fwd["inner_encode"](params, z)
         x_decoded = np.clip(np.asarray(fwd["decode"](params, z)), 0, 1)
@@ -40,7 +39,10 @@ def get_embeddings_from_val_set(idx, config, trainer, x=None, save_plot=False):
                        x_from_t[idx], save_plot, idx)
     else:
         mean, _ = fwd["encode"](params, x_j)
-        x_decoded = np.clip(np.asarray(fwd["decode"](params, mean)), 0, 1)
+        # the reference's 'decoded' panel uses the reparameterised sample
+        # (model.decoded <- code_sample), not the posterior mean
+        z = fwd["encode_sample"](params, x_j, trainer._next_rng())
+        x_decoded = np.clip(np.asarray(fwd["decode"](params, z)), 0, 1)
         embedding = np.asarray(mean)
         _plot_triptych(np.asarray(x_j)[idx], x_decoded[idx], config,
                        None, save_plot, idx)
@@ -157,7 +159,9 @@ def plot_optimised_path(cur_pts, config, gm, trainer, embedding_start,
                         embedding_end, idx_start, idx_end, n_step,
                         log_prob=None, plot_prior="density", w=2.0,
                         save_plot=True, grid_size=8.0, name_input="", c="b"):
-    """2-D path overlay on the prior (demo_tools.py:216-288)."""
+    """2-D path overlay on the prior (demo_tools.py:216-288). `trainer` is
+    unused here (the reference needed sess/model for branches this port
+    computes via log_prob); kept for the reference/notebook call shape."""
     fig, axs = plt.subplots(1, 1, figsize=(10, 10), edgecolor="k")
     if plot_prior == "circle" and gm is not None:
         w_, m_, K_ = [np.asarray(a) for a in gm]
@@ -169,6 +173,14 @@ def plot_optimised_path(cur_pts, config, gm, trainer, embedding_start,
         logp = np.asarray(log_prob(jnp.asarray(pos.reshape(-1, 2))))
         prior_pdf = np.exp(logp).reshape(xs.shape) + 1e-8
         im = axs.imshow(np.log(prior_pdf), cmap="viridis", vmin=-14, vmax=0)
+        # axes in latent coordinates, not pixel indices (the reference's
+        # tick remap, demo_tools.py:250-265)
+        ticks = np.arange(0, grid_size // 0.05 * 2, 4 // 0.05 + 1)
+        labels = list(np.arange(-grid_size, grid_size, 4))
+        axs.set_xticks(ticks)
+        axs.set_xticklabels(labels)
+        axs.set_yticks(ticks)
+        axs.set_yticklabels(labels)
         fig.colorbar(im)
 
     pts_start = np.concatenate([embedding_start[None], np.asarray(cur_pts)],

@@ -72,11 +72,24 @@ def main():
 
     log_prob = define_prior_distribution(config, trainer)
 
+    def prior_sample_fn(rng, n):
+        """Random-init interior points drawn from the fitted prior (the
+        reference notebook's 'random' branch samples the GM)."""
+        if config["prior"] in ("ours", "GMM"):
+            from ladder_tpu.ops.distributions import gmm_cholesky, sample_gmm
+            w, m, K = trainer.gm_final or trainer.gm_fast
+            return sample_gmm(rng, w, m, gmm_cholesky(K), n)
+        dim = (config["representation_size"]
+               if config["prior"] in ("ours", "hierarchical")
+               else config["code_size"])
+        import jax
+        return jax.random.normal(rng, (n, dim))
+
     slp_pts, sp_pts, hist = interpolate(
         config, jnp.asarray(embedding_start, dtype=jnp.float32),
         jnp.asarray(embedding_end, dtype=jnp.float32), log_prob,
         n_step=args.n_step, n_iter=args.n_iter, init=args.init,
-        rng=trainer._next_rng(),
+        rng=trainer._next_rng(), sample_fn=prior_sample_fn,
     )
     print("Final loss: {:.4f}; path length {:.4f} (SP {:.4f}); "
           "neg-LL {:.4f} (SP {:.4f})".format(

@@ -112,10 +112,22 @@ def straight_line_init(start, end, n_step):
 def interpolate(config, start, end, log_prob, n_step=8, n_iter=500, lr=1e-2,
                 w_path=10.0, w_eq=100.0, init="linear", rng=None,
                 sample_fn=None):
-    """End-to-end SLP: init -> optimise. Returns (slp_pts, sp_pts, history)."""
+    """End-to-end SLP: init -> optimise. Returns (slp_pts, sp_pts, history).
+
+    init="random": interior points drawn by sample_fn(rng, n_step) (the
+    notebook samples the fitted prior — demo/interpolate.py wires that up);
+    without a sample_fn, standard-normal points in the embedding space
+    (dimension from config) are used."""
     if init == "random":
-        assert sample_fn is not None and rng is not None
-        init_pts = sample_fn(rng, n_step)
+        if rng is None:
+            raise ValueError("init='random' needs an rng")
+        if sample_fn is not None:
+            init_pts = sample_fn(rng, n_step)
+        else:
+            dim = (config["representation_size"]
+                   if config["prior"] in ("ours", "hierarchical")
+                   else config["code_size"])
+            init_pts = jax.random.normal(rng, (n_step, dim))
     else:
         init_pts = straight_line_init(start, end, n_step)
     slp, hist = optimise_slp(init_pts, start, end, log_prob, n_iter=n_iter,

@@ -159,8 +159,10 @@ class LadderModel:
 
     def count_params(self):
         """Per-group trainable parameter counts, mirroring
-        count_trainable_variables (utils.py:96-113)."""
-        params = self.init(jax.random.PRNGKey(0))
+        count_trainable_variables (utils.py:96-113). Shape-level only:
+        eval_shape traces init without allocating or initialising a second
+        parameter set."""
+        params = jax.eval_shape(self.init, jax.random.PRNGKey(0))
         def count(tree):
             return sum(x.size for x in jax.tree.leaves(tree))
         n_enc = count(params["encoder"])

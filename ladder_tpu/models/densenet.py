@@ -35,6 +35,7 @@ class ConvLayer(nn.Module):
     @nn.compact
     def __call__(self, x, training=True):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.999,
+                         epsilon=1e-3, use_scale=False,
                          dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.filters, (3, 3), padding="SAME",
@@ -73,6 +74,7 @@ class TransitionDown(nn.Module):
     @nn.compact
     def __call__(self, x, training=True):
         x = nn.BatchNorm(use_running_average=not training, momentum=0.999,
+                         epsilon=1e-3, use_scale=False,
                          dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.Conv(self.filters, (1, 1), padding="SAME",

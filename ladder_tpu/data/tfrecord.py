@@ -52,6 +52,15 @@ def _crc_table():
 
 
 def crc32c(data: bytes) -> int:
+    # the native library's hardware crc32 is ~1000x the Python table loop
+    # (9 ms -> ~10 us per 48 KiB image record) — the loop dominated TFRecord
+    # writing; identical values (cross-checked against TF in
+    # tests/test_tf_parity.py and vs the table path in tests/test_tfrecord.py)
+    from ladder_tpu.runtime import native_crc32c
+
+    v = native_crc32c(data)
+    if v is not None:
+        return v
     table = _crc_table()
     crc = 0xFFFFFFFF
     for b in data:

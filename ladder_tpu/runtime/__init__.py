@@ -25,6 +25,7 @@ _build_failed = False
 
 def _build():
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+           "-msse4.2",  # hardware crc32c (guarded by __SSE4_2__ in the .cc)
            "-o", _LIB, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
@@ -51,6 +52,8 @@ def _load():
                 ctypes.c_void_p, ctypes.POINTER(ctypes.c_long),
                 ctypes.c_long, ctypes.POINTER(ctypes.c_ubyte)]
             lib.ldr_close.argtypes = [ctypes.c_void_p]
+            lib.ldr_crc32c.restype = ctypes.c_uint32
+            lib.ldr_crc32c.argtypes = [ctypes.c_char_p, ctypes.c_long]
             _lib = lib
         except Exception as e:  # pragma: no cover - no-compiler environments
             print(f"native tfrecord reader unavailable ({e}); "
@@ -61,6 +64,15 @@ def _load():
 
 def native_available():
     return _load() is not None
+
+
+def native_crc32c(data):
+    """Hardware CRC32C of a bytes object, or None when the native library
+    is unavailable (callers fall back to the pure-Python table loop)."""
+    lib = _load()
+    if lib is None:
+        return None
+    return int(lib.ldr_crc32c(data, len(data)))
 
 
 class NativeImageRecordReader:

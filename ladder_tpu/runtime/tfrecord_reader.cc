@@ -28,6 +28,10 @@
 #include <unistd.h>
 #include <vector>
 
+#if defined(__SSE4_2__)
+#include <nmmintrin.h>
+#endif
+
 namespace {
 
 struct Record {
@@ -127,9 +131,47 @@ struct Reader {
   int n_threads = 4;
 };
 
+// CRC32C (Castagnoli) — hardware crc32 instruction when available, else a
+// byte-table fallback. Used by the Python TFRecord WRITER (data/tfrecord.py)
+// for record framing checksums; the pure-Python table loop costs ~9 ms per
+// 48 KiB image record, which dominates dataset generation.
+uint32_t crc32c_impl(const uint8_t* data, uint64_t n) {
+#if defined(__SSE4_2__)
+  uint64_t crc = 0xFFFFFFFFu;
+  uint64_t i = 0;
+  for (; i + 8 <= n; i += 8) {
+    uint64_t chunk;
+    memcpy(&chunk, data + i, 8);
+    crc = _mm_crc32_u64(crc, chunk);
+  }
+  uint32_t c = static_cast<uint32_t>(crc);
+  for (; i < n; ++i) c = _mm_crc32_u8(c, data[i]);
+  return c ^ 0xFFFFFFFFu;
+#else
+  static uint32_t table[256];
+  static std::once_flag once;
+  std::call_once(once, [] {
+    for (uint32_t v = 0; v < 256; ++v) {
+      uint32_t crc = v;
+      for (int k = 0; k < 8; ++k)
+        crc = (crc >> 1) ^ (crc & 1 ? 0x82F63B78u : 0u);
+      table[v] = crc;
+    }
+  });
+  uint32_t crc = 0xFFFFFFFFu;
+  for (uint64_t i = 0; i < n; ++i)
+    crc = (crc >> 8) ^ table[(crc ^ data[i]) & 0xFF];
+  return crc ^ 0xFFFFFFFFu;
+#endif
+}
+
 }  // namespace
 
 extern "C" {
+
+uint32_t ldr_crc32c(const uint8_t* data, long n) {
+  return crc32c_impl(data, static_cast<uint64_t>(n));
+}
 
 void* ldr_open(const char* path, long image_bytes, const char* key,
                int n_threads) {

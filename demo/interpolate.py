@@ -30,10 +30,14 @@ def main():
     ap.add_argument("--init", default="linear", choices=["linear", "random"])
     args = ap.parse_args()
 
-    import jax.numpy as jnp
-
-    from ladder_tpu.utils.config import enable_compilation_cache
+    from ladder_tpu.utils.config import (
+        enable_compilation_cache,
+        honor_cpu_platform_request,
+    )
+    honor_cpu_platform_request()
     enable_compilation_cache()
+
+    import jax.numpy as jnp
 
     from demo.demo_tools import (
         define_prior_distribution,

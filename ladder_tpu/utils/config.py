@@ -22,6 +22,19 @@ def get_config_from_json(json_file):
         return json.load(f)
 
 
+def honor_cpu_platform_request():
+    """The axon TPU plugin ignores the JAX_PLATFORMS env var; apply a CPU
+    request at jax-config level instead. Call before any jax device use —
+    shared by every CLI entry point (train/serve/demo/__graft_entry__)."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 def enable_compilation_cache(cache_dir=None):
     """Turn on jax's persistent compilation cache for the CLI entry points.
 

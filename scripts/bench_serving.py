@@ -93,6 +93,7 @@ def main():
             engine._encode, engine.params, x, args.iters * 2), 1),
     }
     if engine.gm is not None:
+        engine.generate(1)  # compile the generate program before timing
         t0 = time.perf_counter()
         engine.generate(args.batch * 10, seed=0)
         results["generate_img_s"] = round(

@@ -30,15 +30,9 @@ sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour a CPU
-# request explicitly (same guard as __graft_entry__.py).
-if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-    try:
-        import jax
+from ladder_tpu.utils.config import honor_cpu_platform_request  # noqa: E402
 
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+honor_cpu_platform_request()
 
 
 def _load_array(path):
@@ -76,10 +70,13 @@ def make_handler(engine):
                                         "latency_ema": engine.latency_ema})
             if self.path.startswith("/generate"):
                 from urllib.parse import parse_qs, urlparse
-                q = parse_qs(urlparse(self.path).query)
-                n = int(q.get("n", ["16"])[0])
-                seed = int(q.get("seed", ["0"])[0])
                 try:
+                    q = parse_qs(urlparse(self.path).query)
+                    n = int(q.get("n", ["16"])[0])
+                    seed = int(q.get("seed", ["0"])[0])
+                    if not 0 <= n <= 4096:
+                        raise ValueError(
+                            f"n must be in [0, 4096], got {n}")
                     return self._send_npy(engine.generate(n, seed=seed))
                 except ValueError as e:
                     return self._send_json({"error": str(e)}, 400)
@@ -90,6 +87,9 @@ def make_handler(engine):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 x = np.load(io.BytesIO(self.rfile.read(length)))
+                if not isinstance(x, np.ndarray):  # e.g. an .npz archive
+                    raise ValueError(
+                        "request body must be a single .npy array")
                 if route == "/encode":
                     mean, std = engine.encode(x)
                     return self._send_npy(np.stack([mean, std]))
@@ -155,7 +155,11 @@ def main(argv=None):
 
     if args.reconstruct:
         x = _load_array(args.reconstruct)
-        recon = engine.reconstruct(x)
+        # chunk by serve_batch: the engine's fixed-shape paths pad up but
+        # never split, and batch jobs routinely exceed one serve batch
+        chunks = [engine.reconstruct(x[i:i + engine.serve_batch])
+                  for i in range(0, len(x), engine.serve_batch)]
+        recon = np.concatenate(chunks, axis=0)
         np.savez(args.out, x=recon)
         print(f"wrote {recon.shape} reconstructions -> {args.out}")
         return 0

@@ -17,15 +17,9 @@ from ladder_tpu.utils.config import (
     save_config,
 )
 
-# The axon TPU plugin ignores the JAX_PLATFORMS env var; honour a CPU
-# request explicitly (same guard as __graft_entry__.py).
-if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
-    try:
-        import jax
+from ladder_tpu.utils.config import honor_cpu_platform_request
 
-        jax.config.update("jax_platforms", "cpu")
-    except Exception:
-        pass
+honor_cpu_platform_request()
 
 
 def main(argv=None):

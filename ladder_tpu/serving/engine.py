@@ -50,8 +50,10 @@ def _pad_to(x, n):
     k = x.shape[0]
     if k == n:
         return x
+    if k == 0:
+        raise ValueError("empty batch (0 rows)")
     if k > n:
-        raise ValueError(f"batch {k} exceeds serve_batch {n}")
+        raise ValueError(f"batch {k} exceeds bucket {n}")
     pad = jnp.broadcast_to(x[-1:], (n - k,) + x.shape[1:])
     return jnp.concatenate([x, pad], axis=0)
 
@@ -65,13 +67,18 @@ class InferenceEngine:
         prior mode and directory layout all come from here.
     checkpoint_dir : override for config['checkpoint_dir'].
     gm_info_path : override for result_dir/GM_prior_info.npz ('ours'/'GMM').
-    serve_batch : fixed compile batch for the image/code paths.
+    serve_batch : largest compile batch for the image/code paths.
+    buckets : extra (smaller) compile batch sizes. A request dispatches to
+        the smallest bucket that fits, so a 1-image request pays ~bucket-1
+        latency instead of serve_batch compute; requests larger than
+        serve_batch are chunked. Buckets incompatible with the mesh
+        (not divisible by mesh_devices) are dropped.
     dtype : 'float32' (default) or 'bfloat16' for the conv stacks.
     mesh_devices : 0 = single device; N>0 = shard batch over N devices.
     """
 
     def __init__(self, config, checkpoint_dir=None, gm_info_path=None,
-                 serve_batch=64, dtype=None, mesh_devices=0,
+                 serve_batch=64, buckets=(1, 8), dtype=None, mesh_devices=0,
                  allow_uninitialized=False):
         cfg = dict(config)
         if dtype is not None:
@@ -80,6 +87,22 @@ class InferenceEngine:
             cfg["checkpoint_dir"] = checkpoint_dir
         self.config = cfg
         self.serve_batch = int(serve_batch)
+        if mesh_devices:
+            # fail at construction with a clear message, not at the first
+            # jitted call as an obscure GSPMD sharding error
+            if mesh_devices > len(jax.devices()):
+                raise ValueError(
+                    f"mesh_devices={mesh_devices} but only "
+                    f"{len(jax.devices())} devices are available")
+            if self.serve_batch % mesh_devices:
+                raise ValueError(
+                    f"serve_batch={serve_batch} must be divisible by "
+                    f"mesh_devices={mesh_devices}")
+        self.buckets = sorted(
+            {int(b) for b in buckets
+             if 0 < int(b) < self.serve_batch
+             and (not mesh_devices or int(b) % mesh_devices == 0)}
+            | {self.serve_batch})
         self.model = make_model(cfg)
         self.prior = cfg["prior"]
 
@@ -224,15 +247,32 @@ class InferenceEngine:
                 in_shardings=(data, None), out_shardings=data)
 
     # -- public API -------------------------------------------------------
+    def _bucket_for(self, n):
+        """Smallest compiled bucket that fits n rows."""
+        for b in self.buckets:
+            if n <= b:
+                return b
+        return self.serve_batch
+
     def _run(self, name, fn, x, *rest):
         n = x.shape[0]
+        if n == 0:
+            raise ValueError(f"{name}: empty batch (0 rows)")
+        if n > self.serve_batch:
+            # chunk oversized batches instead of erroring (batch jobs and
+            # HTTP clients routinely exceed one serve batch)
+            parts = [self._run(name, fn, x[i:i + self.serve_batch], *rest)
+                     for i in range(0, n, self.serve_batch)]
+            return jax.tree.map(
+                lambda *leaves: np.concatenate(leaves, axis=0), *parts)
+        b = self._bucket_for(n)
         t0 = time.perf_counter()
-        out = fn(self.params, _pad_to(jnp.asarray(x), self.serve_batch),
-                 *rest)
+        out = fn(self.params, _pad_to(jnp.asarray(x), b), *rest)
         out = jax.tree.map(lambda a: np.asarray(a)[:n], out)
         dt = time.perf_counter() - t0
-        ema = self._latency.get(name)
-        self._latency[name] = dt if ema is None else 0.9 * ema + 0.1 * dt
+        for key in (name, f"{name}@b{b}"):
+            ema = self._latency.get(key)
+            self._latency[key] = dt if ema is None else 0.9 * ema + 0.1 * dt
         return out
 
     def encode(self, x):
@@ -290,23 +330,24 @@ class InferenceEngine:
                                          self.gm))
 
     def warmup(self):
-        """Compile every path at the serve shape — in BOTH accepted image
+        """Compile every path at every bucket shape — in BOTH accepted image
         dtypes (uint8 and float32 trace to different programs); returns
         seconds taken."""
         cfg = self.config
         t0 = time.perf_counter()
-        for x in (np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
-                            cfg["dim_input_channel"]), np.float32),
-                  np.zeros((1, cfg["dim_input_x"], cfg["dim_input_y"],
-                            cfg["dim_input_channel"]), np.uint8)):
-            self.encode(x)
-            self.reconstruct(x)
+        for b in self.buckets:
+            for x in (np.zeros((b, cfg["dim_input_x"], cfg["dim_input_y"],
+                                cfg["dim_input_channel"]), np.float32),
+                      np.zeros((b, cfg["dim_input_x"], cfg["dim_input_y"],
+                                cfg["dim_input_channel"]), np.uint8)):
+                self.encode(x)
+                self.reconstruct(x)
+                if self.prior in PRIORS_WITH_INNER_VAE:
+                    self.represent(x)
+            self.decode(np.zeros((b, cfg["code_size"]), np.float32))
             if self.prior in PRIORS_WITH_INNER_VAE:
-                self.represent(x)
-        self.decode(np.zeros((1, cfg["code_size"]), np.float32))
-        if self.prior in PRIORS_WITH_INNER_VAE:
-            self.decode_representation(
-                np.zeros((1, cfg["representation_size"]), np.float32))
+                self.decode_representation(
+                    np.zeros((b, cfg["representation_size"]), np.float32))
         try:
             self.generate(1)
         except ValueError:

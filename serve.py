@@ -67,6 +67,8 @@ def make_handler(engine):
         def do_GET(self):
             if self.path.startswith("/healthz"):
                 return self._send_json({"ok": True,
+                                        "serve_batch": engine.serve_batch,
+                                        "buckets": engine.buckets,
                                         "latency_ema": engine.latency_ema})
             if self.path.startswith("/generate"):
                 from urllib.parse import parse_qs, urlparse
@@ -90,6 +92,8 @@ def make_handler(engine):
                 if not isinstance(x, np.ndarray):  # e.g. an .npz archive
                     raise ValueError(
                         "request body must be a single .npy array")
+                if x.ndim == 0 or x.shape[0] == 0:
+                    raise ValueError("empty batch (0 rows)")
                 if route == "/encode":
                     mean, std = engine.encode(x)
                     return self._send_npy(np.stack([mean, std]))
@@ -100,7 +104,9 @@ def make_handler(engine):
                 if route == "/represent":
                     mean, std = engine.represent(x)
                     return self._send_npy(np.stack([mean, std]))
-            except (ValueError, OSError, EOFError) as e:
+            except Exception as e:  # noqa: BLE001 — any bad input (wrong
+                # rank/width raises TypeError/flax shape errors inside the
+                # jitted path) must answer a clean 400, not kill the socket
                 return self._send_json({"error": str(e)}, 400)
             self._send_json({"error": "unknown path"}, 404)
 
@@ -155,11 +161,8 @@ def main(argv=None):
 
     if args.reconstruct:
         x = _load_array(args.reconstruct)
-        # chunk by serve_batch: the engine's fixed-shape paths pad up but
-        # never split, and batch jobs routinely exceed one serve batch
-        chunks = [engine.reconstruct(x[i:i + engine.serve_batch])
-                  for i in range(0, len(x), engine.serve_batch)]
-        recon = np.concatenate(chunks, axis=0)
+        # the engine chunks batches larger than serve_batch internally
+        recon = engine.reconstruct(x)
         np.savez(args.out, x=recon)
         print(f"wrote {recon.shape} reconstructions -> {args.out}")
         return 0

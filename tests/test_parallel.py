@@ -97,9 +97,12 @@ def test_batch_sharding_layout(mesh):
     assert shard_shapes == {(2, 28, 28, 1)}
 
 
-def test_trainer_with_mesh_e2e(mesh, tmp_path, monkeypatch):
+@pytest.mark.parametrize("steps_per_call", [1, 2])
+def test_trainer_with_mesh_e2e(mesh, tmp_path, monkeypatch, steps_per_call):
     """Full trainer epoch with the data-parallel mesh wired in (the
-    config['mesh_shape'] CLI path)."""
+    config['mesh_shape'] CLI path) — including the production K-step
+    dispatch (steps_per_call>1: the [K, B, ...] stack sharded
+    P(None, data))."""
     monkeypatch.chdir(tmp_path)
     from ladder_tpu.data.mnist import DataGenerator
     from ladder_tpu.training.trainer import MNISTTrainer
@@ -110,7 +113,7 @@ def test_trainer_with_mesh_e2e(mesh, tmp_path, monkeypatch):
                       num_hidden_units=64, num_hidden_units_inner_VAE=16,
                       n_layers_inner_VAE=2, enable_plots=0,
                       synthetic_n_train=256, synthetic_n_test=128,
-                      batch_size=64)
+                      batch_size=64, steps_per_call=steps_per_call)
     cfg["result_dir"] = str(tmp_path / "result") + "/"
     cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
     create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
@@ -197,6 +200,59 @@ def test_single_pass_mode_sharded_matches_sequential_quality(mesh):
                     jax.tree.leaves(new_b["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_multi_step_sharded_stack_matches_single(mesh):
+    """VERDICT r2 item 5: the production dispatch layout — K-step lax.scan
+    over a [K, B, ...] stack sharded P(None, data) (the trainer's
+    _place_stack layout, trainer.py:134-145) with the benchmark config
+    (fused=2, bf16, 'ours') — matches the single-device K-scan."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import make_train_multi_step
+
+    cfg = make_config(
+        exp_name="celeba", prior="ours", batch_size=16,
+        dim_input_x=128, dim_input_y=128, dim_input_channel=3,
+        code_size=8, num_hidden_units=16, num_hidden_units_inner_VAE=16,
+        n_layers_inner_VAE=2, n_MC_samples=4, n_mixtures=3,
+        fused_train_step=2, dtype="bfloat16")
+    model = make_model(cfg)
+    state_a = init_state(model, jax.random.PRNGKey(0))
+    state_b = init_state(model, jax.random.PRNGKey(0))
+    multi = make_train_multi_step(model)
+    K = 3
+    stack_host = np.random.default_rng(8).integers(
+        0, 256, (K, 16, 128, 128, 3)).astype(np.uint8)
+    gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+    lrs = {k: jnp.asarray(3e-4) for k in
+           ["ae", "sigma", "prior", "inner_sigma"]}
+    flags = {"use_sg_prior": jnp.asarray(False),
+             "use_mask": jnp.asarray(False)}
+    rng = jax.random.PRNGKey(11)
+
+    new_a, outs_a = multi(state_a, jnp.asarray(stack_host), rng, gm, flags,
+                          lrs, True)
+
+    stack = jax.device_put(
+        stack_host, NamedSharding(mesh, P(None, mesh.axis_names[0])))
+    assert len(stack.sharding.device_set) == 8
+    # step axis replicated, batch axis sharded 16/8 = 2 rows per device
+    assert {s.data.shape for s in stack.addressable_shards} == \
+        {(K, 2, 128, 128, 3)}
+    new_b, outs_b = multi(replicate(state_b, mesh), stack, rng,
+                          replicate(gm, mesh), flags, lrs, True)
+
+    # per-step loss curves track (bf16 forward + cross-shard reductions)
+    np.testing.assert_allclose(np.asarray(outs_a["ae"]["loss_ae"]),
+                               np.asarray(outs_b["ae"]["loss_ae"]),
+                               rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(new_a["params"]),
+                    jax.tree.leaves(new_b["params"])):
+        np.testing.assert_allclose(np.asarray(a, dtype=np.float32),
+                                   np.asarray(b, dtype=np.float32),
+                                   rtol=5e-2, atol=5e-3)
 
 
 def test_global_batch_from_local_single_process(mesh):

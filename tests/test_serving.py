@@ -104,6 +104,44 @@ def test_engine_warmup_and_latency(served):
     secs = engine.warmup()
     assert secs >= 0.0
     assert "encode" in engine.latency_ema
+    # per-bucket latency keys exist for every warmed bucket
+    for b in engine.buckets:
+        assert f"encode@b{b}" in engine.latency_ema
+
+
+def test_engine_bucket_dispatch_and_chunking(served):
+    """1-row requests hit bucket 1; oversized batches chunk; empty errors."""
+    _, _, _, engine = served
+    assert engine.buckets == [1, 8]  # serve_batch=8 with default (1, 8)
+    assert engine._bucket_for(1) == 1
+    assert engine._bucket_for(2) == 8
+
+    x = np.random.default_rng(11).random((19, 28, 28, 1)).astype(np.float32)
+    chunked = engine.reconstruct(x)            # 19 > serve_batch=8 -> 3 chunks
+    assert chunked.shape == (19, 28, 28, 1)
+    ref = np.concatenate([engine.reconstruct(x[i:i + 8])
+                          for i in range(0, 19, 8)])
+    np.testing.assert_allclose(chunked, ref, rtol=1e-6, atol=1e-6)
+
+    # bucket-1 result equals the padded-to-8 result (pad invariance)
+    one, _ = engine.encode(x[:1])
+    full, _ = engine.encode(x[:8])
+    np.testing.assert_allclose(one, full[:1], rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="empty batch"):
+        engine.reconstruct(x[:0])
+
+
+def test_engine_mesh_validation(served):
+    """Bad mesh shapes fail at construction with clear messages."""
+    cfg, _, _, _ = served
+    from ladder_tpu.serving import InferenceEngine
+
+    with pytest.raises(ValueError, match="devices are available"):
+        InferenceEngine(cfg, serve_batch=8, mesh_devices=512)
+    if len(jax.devices()) >= 3:
+        with pytest.raises(ValueError, match="divisible"):
+            InferenceEngine(cfg, serve_batch=8, mesh_devices=3)
 
 
 def test_export_roundtrip(served, tmp_path):

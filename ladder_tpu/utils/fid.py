@@ -159,6 +159,55 @@ def vgg16_feature_fn(pooling="avg"):
             "weights on disk. Underlying error: {}".format(e))
 
 
+def encoder_feature_fn(config, checkpoint_dir=None):
+    """A REAL conv-network extractor that exists in this environment: the
+    trained LaDDer encoder's code_mean head as the embedding (a
+    model-space FID, not the ImageNet-Inception FID — useful offline and
+    as an end-to-end exercise of the full load->preprocess->resize->
+    extract->Frechet pipeline; cf. the reference's pluggable extractor
+    choice, utils.py:164-194).
+
+    Returns feature_fn(images [N,H,W,C] float in [-1,1]) -> [N, code_size].
+    Images are resized to the model's input size and rescaled to the
+    encoder's [0,1] convention on device.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.ops.image import resize_bilinear_tf1
+    from ladder_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = dict(config)
+    if checkpoint_dir is not None:
+        cfg["checkpoint_dir"] = checkpoint_dir
+    model = make_model(cfg)
+    state = {"params": model.init(jax.random.PRNGKey(0))}
+    state = CheckpointManager(cfg).load(state, "VAE")
+    params = state["params"]
+    h, w = cfg["dim_input_x"], cfg["dim_input_y"]
+    c = cfg["dim_input_channel"]
+
+    @jax.jit
+    def embed(x):
+        x = (x + 1.0) * 0.5                      # [-1,1] -> [0,1]
+        if x.shape[1] != h or x.shape[2] != w:
+            x = resize_bilinear_tf1(x, h, w)
+        if x.shape[3] != c and c == 1:            # grayscale model, RGB npz
+            x = jnp.mean(x, axis=3, keepdims=True)
+        elif x.shape[3] != c:                     # RGB model, grayscale npz
+            x = jnp.broadcast_to(x, x.shape[:3] + (c,))
+        return model.encode(params, x)[0]
+
+    def feature_fn(images):
+        x = np.asarray(images, np.float32)
+        if x.ndim == 3:
+            x = x[..., None]
+        return np.asarray(embed(jnp.asarray(x)))
+
+    return feature_fn
+
+
 def compute_FID_score(data_file1, data_file2, feature_fn=None,
                       second_set="generated", key="sampled_images",
                       resize_to=64, feature_size=140,

@@ -22,6 +22,10 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed measurement repeats; the JSON reports the "
+                         "median with min/max spread (the tunneled dev chip "
+                         "has ~2% run-to-run RPC noise)")
     ap.add_argument("--warmup", type=int, default=5)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--hidden", type=int, default=512)
@@ -29,6 +33,10 @@ def main():
     ap.add_argument("--full-pipeline", action="store_true",
                     help="stream batches from synthetic TFRecords with host "
                          "prefetch instead of device-resident data")
+    ap.add_argument("--streamed-steps", type=int, default=60,
+                    help="also measure N streamed (TFRecord+prefetch) steps "
+                         "and embed the result as detail.streamed in the "
+                         "same JSON line (0 disables)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--steps-per-call", type=int, default=10,
@@ -40,6 +48,10 @@ def main():
     ap.add_argument("--use-pallas", type=int, default=0,
                     help="1: fused Pallas instnorm+style+leaky kernels in "
                          "the decoder")
+    ap.add_argument("--fused-output", type=int, default=0,
+                    help="1: fused leaky->Conv_8->loss-sums output stage "
+                         "with single-pass backward (ops/pallas_output.py); "
+                         "default follows the best measured configuration")
     ap.add_argument("--mesh", type=int, default=0,
                     help="N>0: shard the batch over an N-device data-parallel "
                          "mesh (params replicated; per-chip batch = batch/N)")
@@ -79,6 +91,7 @@ def main():
         "dtype": args.dtype,
         "fused_train_step": args.fused,
         "use_pallas": args.use_pallas,
+        "fused_output_stage": args.fused_output,
     })
 
     model = make_model(cfg)
@@ -138,45 +151,86 @@ def main():
         stack = jnp.broadcast_to(batch, (args.steps_per_call,) + batch.shape)
         n_calls = max(1, args.steps // args.steps_per_call)
         args.steps = n_calls * args.steps_per_call
-        state, outs = multi(state, stack, rng, gm, flags, lrs, True)
-        jax.block_until_ready(state)
-        t0 = time.perf_counter()
-        for _ in range(n_calls):
-            state, outs = multi(state, stack, rng, gm, flags, lrs, True)
-        jax.block_until_ready(state)
-        dt = time.perf_counter() - t0
-        out = jax.tree.map(lambda a: a[-1], outs)
+
+        def measure(state):
+            outs = None
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                state, outs = multi(state, stack, rng, gm, flags, lrs, True)
+            jax.block_until_ready(state)
+            dt = time.perf_counter() - t0
+            return state, jax.tree.map(lambda a: a[-1], outs), dt
+
+        state, out, _ = measure(state)  # compile + warm
     else:
-        # warmup (compile)
-        for i in range(args.warmup):
+        def measure(state):
+            out = None
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, out = step(state, batch, rng, gm, flags, lrs, True)
+            jax.block_until_ready(state)
+            return state, out, time.perf_counter() - t0
+
+        for i in range(args.warmup):  # compile + warm
             state, out = step(state, batch, rng, gm, flags, lrs, True)
         jax.block_until_ready(state)
 
-        t0 = time.perf_counter()
-        for i in range(args.steps):
-            state, out = step(state, batch, rng, gm, flags, lrs, True)
-        jax.block_until_ready(state)
-        dt = time.perf_counter() - t0
+    # repeated timed runs: the tunnel's RPC jitter makes any single run a
+    # lottery draw; report the median with the min/max spread
+    rates, step_mss = [], []
+    for _ in range(max(1, args.repeats)):
+        state, out, dt = measure(state)
+        rates.append(args.steps * args.batch / dt / n_chips)
+        step_mss.append(1000 * dt / args.steps)
+    per_chip = float(np.median(rates))
 
-    images_per_sec = args.steps * args.batch / dt
-    per_chip = images_per_sec / n_chips
+    detail = {
+        "batch": args.batch, "hidden": args.hidden, "code": args.code,
+        "dtype": args.dtype, "fused": args.fused,
+        "steps": args.steps, "n_chips": n_chips,
+        "repeats": len(rates),
+        "median": round(float(np.median(rates)), 1),
+        "min": round(float(np.min(rates)), 1),
+        "max": round(float(np.max(rates)), 1),
+        "step_ms": round(float(np.median(step_mss)), 2),
+        "step_ms_min": round(float(np.min(step_mss)), 2),
+        "step_ms_max": round(float(np.max(step_mss)), 2),
+        "loss_ae": float(out["ae"]["loss_ae"]),
+    }
+
+    if args.streamed_steps > 0 and mesh is None:
+        # second record in the same output: the full-pipeline number
+        # (host TFRecord decode + prefetch-thread device transfer). On the
+        # tunneled dev chip this measures the ~27 MB/s RPC link, not the
+        # device; local PCIe hardware sustains the device-resident rate.
+        import tempfile
+
+        from ladder_tpu.data.celeba import CelebAData
+        with tempfile.TemporaryDirectory() as td:
+            n_streamed = args.streamed_steps + args.warmup
+            cfg2 = dict(cfg, synthetic_data=1,
+                        synthetic_n_train=args.batch * n_streamed,
+                        synthetic_n_val=args.batch,
+                        synthetic_n_test=args.batch, data_path=td + "/")
+            data = CelebAData(cfg2)
+            sargs = argparse.Namespace(**vars(args))
+            sargs.steps = args.streamed_steps
+            detail["streamed"] = run_steps(
+                step, state, data.train.epoch(args.batch, seed=0,
+                                              to_device=True),
+                rng, gm, flags, lrs, sargs, n_chips, emit=False)
+
     print(json.dumps({
         "metric": "images/sec/chip (CelebA-128 train)",
         "value": round(per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / 5000.0, 4),
-        "detail": {
-            "batch": args.batch, "hidden": args.hidden, "code": args.code,
-            "dtype": args.dtype, "fused": args.fused,
-            "steps": args.steps, "n_chips": n_chips,
-            "step_ms": round(1000 * dt / args.steps, 2),
-            "loss_ae": float(out["ae"]["loss_ae"]),
-        },
+        "detail": detail,
     }))
 
 
 def run_steps(step, state, batches, rng, gm, flags, lrs, args, n_chips,
-              streamed=False):
+              streamed=False, emit=True):
     import jax
     import jax.numpy as jnp
     import time as _t
@@ -194,17 +248,21 @@ def run_steps(step, state, batches, rng, gm, flags, lrs, args, n_chips,
     jax.block_until_ready(state)
     dt = _t.perf_counter() - t0
     per_chip = n * args.batch / dt / n_chips
-    print(json.dumps({
-        "metric": "images/sec/chip (CelebA-128 train, streamed)",
-        "value": round(per_chip, 1),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(per_chip / 5000.0, 4),
-        "detail": {"batch": args.batch, "steps": n, "n_chips": n_chips,
-                   "step_ms": round(1000 * dt / max(n, 1), 2),
-                   "note": "streamed mode is host->device transfer bound on "
-                           "the tunneled dev chip (~27 MB/s); real PCIe "
-                           "hardware sustains the device-resident rate"},
-    }))
+    record = {"batch": args.batch, "steps": n, "n_chips": n_chips,
+              "value": round(per_chip, 1),
+              "step_ms": round(1000 * dt / max(n, 1), 2),
+              "note": "streamed mode is host->device transfer bound on "
+                      "the tunneled dev chip (~27 MB/s); real PCIe "
+                      "hardware sustains the device-resident rate"}
+    if emit:
+        print(json.dumps({
+            "metric": "images/sec/chip (CelebA-128 train, streamed)",
+            "value": round(per_chip, 1),
+            "unit": "images/sec/chip",
+            "vs_baseline": round(per_chip / 5000.0, 4),
+            "detail": record,
+        }))
+    return record
 
 
 if __name__ == "__main__":

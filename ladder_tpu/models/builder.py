@@ -41,6 +41,7 @@ class LadderModel:
     inner_encoder: Any = field(init=False, default=None)
     inner_decoder: Any = field(init=False, default=None)
     vamp: Any = field(init=False, default=None)
+    fused_output: bool = field(init=False, default=False)
 
     def __post_init__(self):
         cfg = self.config
@@ -67,6 +68,9 @@ class LadderModel:
                 h, dtype=dt,
                 use_pallas=bool(cfg.get("use_pallas", 0)),
                 fuse_upsample=bool(cfg.get("fuse_upsample_conv", 1)))
+            # fused leaky->Conv_8->loss-sums output stage (Pallas; TPU or
+            # interpret mode). The loss checks availability at trace time.
+            self.fused_output = bool(cfg.get("fused_output_stage", 0))
         else:
             raise ValueError(f"unknown exp_name: {exp}")
 
@@ -132,6 +136,18 @@ class LadderModel:
 
     def decode(self, params, z):
         return self.decoder.apply({"params": params["decoder"]}, z)
+
+    def decode_trunk(self, params, z):
+        """CelebA only: the decoder up to (not including) the final
+        leaky_relu -> Conv_8 output stage — the input of the fused
+        output-stage kernel (ops/pallas_output.py)."""
+        return self.decoder.apply({"params": params["decoder"]}, z,
+                                  trunk_only=True)
+
+    def output_stage_params(self, params):
+        """(kernel [1,1,C,Co], bias [Co]) of the CelebA Conv_8 head."""
+        p = params["decoder"]["Conv_8"]
+        return p["kernel"], p["bias"]
 
     def inner_encode(self, params, z):
         return self.inner_encoder.apply(

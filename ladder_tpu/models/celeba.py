@@ -104,7 +104,12 @@ class CelebADecoder(nn.Module):
     fuse_upsample: bool = True
 
     @nn.compact
-    def __call__(self, z):
+    def __call__(self, z, trunk_only=False):
+        """trunk_only=True returns the pre-activation feeding the final
+        leaky_relu -> Conv_8 stage instead of the image — the input of the
+        fused output-stage kernel (ops/pallas_output.py). Conv_8's
+        parameters are still created at init (trunk_only is never used
+        there), so checkpoints are identical either way."""
         h, dt = self.num_hidden_units, self.dtype
         if dt is not None:
             z = z.astype(dt)
@@ -149,7 +154,10 @@ class CelebADecoder(nn.Module):
         x = leaky_relu(up_conv(x, h // 2, "Conv_5"))
         # decoded_5: -> 128 -> conv
         x = in_style(up_conv(x, h // 4, "Conv_6"), 3)
-        x = leaky_relu(up_conv(x, h // 4, "Conv_7"))
+        x = up_conv(x, h // 4, "Conv_7")
+        if trunk_only:
+            return x
+        x = leaky_relu(x)
         # decoded_6: 1x1 conv to 3 channels, linear (fp32 output)
         x = Conv(3, 1, name="Conv_8", dtype=dt)(x)
         return x.astype(jnp.float32)

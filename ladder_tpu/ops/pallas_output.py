@@ -1,0 +1,249 @@
+"""Fused decoder output stage: leaky_relu -> 1x1 conv -> reconstruction sums.
+
+The CelebA decoder ends with leaky_relu(Conv_7 out) -> Conv_8 (1x1, C->3)
+(/root/reference/codes/models.py:581-586) and the loss immediately reduces
+|x - decoded| and (x - decoded)^2 over all pixels (base.py:372-390). The
+activation feeding Conv_8 is the step's largest tensor ([B,128,128,C] —
+268 MB bf16 at the benchmark shape), and the v5e per-op profile shows XLA
+spending THREE passes over it: the forward loss fusion (at the HBM floor),
+a dgrad+leaky-mask pass (662 GB/s), and a separate wgrad pass — ~1.55 ms of
+the 12.3 ms step.
+
+The structural fix (like the upsample-conv fusion, ops/image.py): the
+backward needs x7 = leaky(u) twice — for dW8 = x7^T dout and for the leaky
+mask on du — so computing dW8, db8 and du in ONE kernel removes an entire
+268 MB read pass, and the tiny [C,3] weight never leaves VMEM between
+tiles.
+
+Layout note (the first version's mistake): every 3-channel tensor is
+carried CHANNEL-OUTER ([B,3,H,W] in HBM, [3,bh,W] blocks in VMEM). A block
+with minor dimension 3 tiles to (8,128) vector registers with 3/128 lanes
+used — a 42x VMEM-footprint and DMA amplification that cost more than the
+fusion saved (measured 22 ms/step vs the 12.7 baseline). With channels
+outer, every block is lane-packed; the XLA-side transposes of the small
+[B,H,W,3] tensors cost ~0.1 ms and the decoded->NHWC transpose is dead
+code in the train step (nothing consumes decoded there).
+
+Numerics match the unfused path: the conv computes in the activation dtype
+on the MXU with fp32 accumulation, the result is rounded to the activation
+dtype exactly where the unfused decoder materialises it, and the loss sums
+accumulate in fp32. Exact-parity tests run in interpret mode on CPU
+(tests/test_pallas_output.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+_ALPHA = 0.2  # tf.nn.leaky_relu default (models.py:82)
+
+
+def _leaky(x):
+    # compare in f32: Mosaic rejects bf16 cmpf on v5e
+    return jnp.where(x.astype(jnp.float32) > 0, x, _ALPHA * x)
+
+
+def _pick_bh(h):
+    """Rows per tile: keep the [1,bh,W,C] block ~0.5 MB at the benchmark
+    shape (W=C=128, bf16); the backward holds u, x7, du and mask as f32
+    vectors at once and BH=32 overflows the 16 MB scoped-vmem stack."""
+    for bh in (16, 8, 4, 2, 1):
+        if h % bh == 0:
+            return bh
+    return 1
+
+
+# ---------------------------------------------------------------------------
+# forward: dec = round(leaky(u) @ W8 + b8); l1/l2 sums over the batch
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    u = u_ref[0]                                           # [bh,W,C] act dt
+    n = u.shape[0] * u.shape[1]
+    x7 = _leaky(u).reshape(n, u.shape[2])                  # layout-free
+    w = w_ref[...].astype(u.dtype)                         # [Co,C]
+    # NT matmul contracting C -> [Co,n], lane-packed (Mosaic needs plain
+    # 2-D single-dim contractions)
+    dec = jax.lax.dot_general(
+        w, x7, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dec = dec + b_ref[...].astype(jnp.float32)             # [Co,1]
+    # round exactly where the unfused decoder materialises its output
+    dec = dec.astype(u.dtype).astype(jnp.float32)
+    dec_ref[0] = dec
+
+    diff = t_ref[0].astype(jnp.float32) - dec              # [Co,n]
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        l1_ref[0, 0] = 0.0
+        l2_ref[0, 0] = 0.0
+
+    l1_ref[0, 0] += jnp.sum(jnp.abs(diff))
+    l2_ref[0, 0] += jnp.sum(diff * diff)
+
+
+def _fwd(u, w_t, b, target_t):
+    bsz, h, w_dim, c = u.shape
+    co = w_t.shape[0]
+    bh = _pick_bh(h)
+    grid = (bsz, h // bh)
+    nb = bh * w_dim
+    dec_t, l1, l2 = pl.pallas_call(
+        _fwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec((co, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, co, h * w_dim), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(u, target_t, w_t, b)
+    return dec_t, l1[0, 0], l2[0, 0]
+
+
+# ---------------------------------------------------------------------------
+# backward: ONE pass over u producing du, dW8, db8
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(u_ref, dec_ref, t_ref, w_ref, a_ref, ddec_ref,
+                du_ref, dw_ref, db_ref):
+    i, j = pl.program_id(0), pl.program_id(1)
+
+    dec = dec_ref[0]                                       # [Co,n] f32
+    diff = t_ref[0].astype(jnp.float32) - dec
+    a1 = a_ref[0, 0]
+    a2 = a_ref[0, 1]
+    # d/d(dec) of [a1*sum|t-dec| + a2*sum((t-dec)^2)] plus the decoded
+    # cotangent itself
+    dout = (ddec_ref[0].astype(jnp.float32)
+            - a1 * jnp.sign(diff) - 2.0 * a2 * diff)       # [Co,n] f32
+
+    u = u_ref[0]                                           # [bh,W,C]
+    n = u.shape[0] * u.shape[1]
+    x7 = _leaky(u).astype(jnp.float32).reshape(n, u.shape[2])
+
+    @pl.when((i == 0) & (j == 0))
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    # wgrad: dW[Co,C] += dout @ x7 (plain NN matmul); stays in VMEM
+    dw_ref[...] += jax.lax.dot_general(
+        dout, x7, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db_ref[...] += jnp.sum(dout, axis=1)[:, None]
+
+    # dgrad through the leaky mask (x7 > 0 <=> u > 0, positive slope):
+    # TN matmul contracting Co -> [n,C] = du's own layout after the
+    # layout-free sublane split back to [bh,W,C]
+    dx7 = jax.lax.dot_general(
+        dout.astype(u.dtype), w_ref[...].astype(u.dtype),
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # [n,C]
+    mask = jnp.where(u.astype(jnp.float32) > 0, 1.0, _ALPHA)
+    du_ref[0] = (dx7.reshape(u.shape) * mask).astype(du_ref.dtype)
+
+
+def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
+    bsz, h, w_dim, c = u.shape
+    co = w_t.shape[0]
+    bh = _pick_bh(h)
+    grid = (bsz, h // bh)
+    nb = bh * w_dim
+    t3 = pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j))
+    du, dw_t, db = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+            t3, t3,
+            pl.BlockSpec((co, c), lambda i, j: (0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            t3,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((co, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(u.shape, u.dtype),
+            jax.ShapeDtypeStruct((co, c), jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(u, dec_t, target_t, w_t, a12, ddec_t)
+    return du, dw_t, db
+
+
+# ---------------------------------------------------------------------------
+# public op with custom VJP
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def fused_output_recon(u, kernel, bias, target):
+    """(decoded, l1_sum, l2_sum) for the decoder output stage.
+
+    u: [B,H,W,C] pre-activation feeding the final leaky_relu (act dtype).
+    kernel: [1,1,C,Co] fp32 1x1-conv weights (Conv_8 layout); bias [Co].
+    target: [B,H,W,Co] float in [0,1].
+
+    decoded = round_act_dtype(leaky(u) @ kernel + bias) as fp32 —
+    numerically the unfused decoder's output. l1_sum = sum|target-decoded|,
+    l2_sum = sum (target-decoded)^2, both over ALL elements (callers apply
+    the reference's per-batch scaling, base.py:385-396). In the train step
+    the decoded->NHWC transpose is dead code (only the sums are consumed).
+    """
+    out, _ = _fused_fwd(u, kernel, bias, target)
+    return out
+
+
+def _wt(kernel, dtype):
+    del dtype
+    return jnp.transpose(kernel[0, 0], (1, 0))             # [Co,C] fp32
+
+
+def _fused_fwd(u, kernel, bias, target):
+    b_, h_, wd, _ = u.shape
+    w_t = _wt(kernel, u.dtype)
+    co = w_t.shape[0]
+    target_t = jnp.transpose(target, (0, 3, 1, 2)).reshape(b_, co, h_ * wd)
+    dec_t, l1, l2 = _fwd(u, w_t, bias[:, None], target_t)
+    decoded = jnp.transpose(dec_t.reshape(b_, co, h_, wd), (0, 2, 3, 1))
+    return (decoded, l1, l2), (u, w_t, target_t, dec_t)
+
+
+def _fused_bwd(res, cot):
+    u, w_t, target_t, dec_t = res
+    ddec, dl1, dl2 = cot
+    b_, h_, wd, _ = u.shape
+    ddec_t = jnp.transpose(ddec, (0, 3, 1, 2)).reshape(
+        b_, w_t.shape[0], h_ * wd)
+    a12 = jnp.stack([dl1, dl2]).astype(jnp.float32)[None, :]   # [1,2]
+    du, dw_t, db = _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t)
+    dkernel = jnp.transpose(dw_t, (1, 0))[None, None]      # [1,1,C,Co] f32
+    dtarget = jnp.zeros(
+        (u.shape[0], u.shape[1], u.shape[2], w_t.shape[0]), jnp.float32)
+    return du, dkernel, db[:, 0], dtarget
+
+
+fused_output_recon.defvjp(_fused_fwd, _fused_bwd)

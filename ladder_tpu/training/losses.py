@@ -46,6 +46,16 @@ def outer_forward(model, params, x, rng):
     return dict(code_mean=code_mean, code_std=code_std, z=z, decoded=decoded)
 
 
+def _use_fused_output(model, x):
+    """The fused leaky->Conv_8->loss-sums output stage applies when the
+    model opts in and the backend can run the Pallas kernel (TPU, or CPU
+    interpret mode in tests)."""
+    if not getattr(model, "fused_output", False):
+        return False
+    from ladder_tpu.ops import pallas_output
+    return pallas_output._INTERPRET or jax.default_backend() == "tpu"
+
+
 def compute_loss(model, params, x, rng, gm=None, flags=None):
     """Full ELBO and metric set for one batch.
 
@@ -68,9 +78,18 @@ def compute_loss(model, params, x, rng, gm=None, flags=None):
 
     rng_z, rng_t, rng_mc = jax.random.split(rng, 3)
 
-    fwd = outer_forward(model, params, x, rng_z)
-    code_mean, code_std = fwd["code_mean"], fwd["code_std"]
-    z, decoded = fwd["z"], fwd["decoded"]
+    code_mean, code_std = model.encode(params, x)
+    z = sample_diag_gaussian(rng_z, code_mean, code_std)
+    l1_sum = l2_sum = None
+    if _use_fused_output(model, x):
+        # one-pass output stage: decoded + reconstruction sums, with a
+        # single-pass custom backward (ops/pallas_output.py)
+        from ladder_tpu.ops.pallas_output import fused_output_recon
+        u = model.decode_trunk(params, z)
+        k8, b8 = model.output_stage_params(params)
+        decoded, l1_sum, l2_sum = fused_output_recon(u, k8, b8, x)
+    else:
+        decoded = model.decode(params, z)
     code_size = cfg["code_size"]
 
     metrics = {}
@@ -190,13 +209,22 @@ def compute_loss(model, params, x, rng, gm=None, flags=None):
     metrics["crossEntropy_prior"] = crossEntropy_prior
 
     # reconstruction terms (base.py:372-396)
-    diff = x - decoded
-    metrics["l2_reconstruction_error"] = jnp.mean(
-        jnp.sum(jnp.square(diff), axis=(1, 2, 3)))
-    l1 = jnp.mean(jnp.sum(jnp.abs(diff), axis=(1, 2, 3)))
-    metrics["l1_reconstruction_error"] = l1
-
-    mean_pixel_error = jnp.mean(jnp.abs(diff))
+    if l1_sum is not None:
+        # sums come from the fused output-stage kernel; apply the
+        # reference's per-batch/per-element scalings
+        bsz = x.shape[0]
+        n_el = bsz * x.shape[1] * x.shape[2] * x.shape[3]
+        metrics["l2_reconstruction_error"] = l2_sum / bsz
+        l1 = l1_sum / bsz
+        metrics["l1_reconstruction_error"] = l1
+        mean_pixel_error = l1_sum / n_el
+    else:
+        diff = x - decoded
+        metrics["l2_reconstruction_error"] = jnp.mean(
+            jnp.sum(jnp.square(diff), axis=(1, 2, 3)))
+        l1 = jnp.mean(jnp.sum(jnp.abs(diff), axis=(1, 2, 3)))
+        metrics["l1_reconstruction_error"] = l1
+        mean_pixel_error = jnp.mean(jnp.abs(diff))
     metrics["mean_pixel_error"] = mean_pixel_error
     sigma = model.sigma_value(params)
     if cfg["TRAIN_sigma"] == 1 or cfg["exp_name"] == "celeba":

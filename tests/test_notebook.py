@@ -21,10 +21,28 @@ def test_notebook_executes(monkeypatch):
     g = {}
     for src, i in cells:
         exec(compile(src, f"<cell {i}>", "exec"), g)
+    # cell-count parity with the reference notebook (27 cells incl. its
+    # trailing empty cell)
+    assert len(nb["cells"]) == 27
     # the SLP optimisation improved likelihood over the straight line
     hist = g["hist"]
     assert float(hist["neg_ll"][-1]) < float(hist["neg_ll"][0])
-    # artifacts written
+    # artifact parity sweep against the reference's committed demo output
+    # set (/root/reference/figures/mnist_digit/result/): every family the
+    # current reference NOTEBOOK produces must appear. (That dir also
+    # holds loss_image...dim_... — an older naming scheme; demo_tools.py
+    # :156 writes only the zdim variant today — and test_original_*.pdf,
+    # which trainers.py:125 writes during TRAINING runs, not the demo.)
     rdir = g["config"]["result_dir"]
-    assert any(f.startswith("interpolated_image")
-               for f in os.listdir(rdir))
+    produced = os.listdir(rdir)
+    for pattern in ("interpolated_image", "interpolated_path",
+                    "loss_image", "prior_estimate_circle",
+                    "prior_estimate_density", "GM_prior_info"):
+        assert any(f.startswith(pattern) for f in produced), (
+            pattern, sorted(produced))
+    # both the SLP and straight-line SP renderings of image strip + path
+    for suffix in ("SLP.pdf", "SP.pdf"):
+        assert any(f.startswith("interpolated_image") and f.endswith(suffix)
+                   for f in produced), (suffix, sorted(produced))
+        assert any(f.startswith("interpolated_path") and f.endswith(suffix)
+                   for f in produced), (suffix, sorted(produced))

@@ -124,31 +124,41 @@ def _fwd(u, w_t, b, target_t):
 # backward: ONE pass over u producing du, dW8, db8
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(u_ref, dec_ref, t_ref, w_ref, a_ref, ddec_ref,
-                du_ref, dw_ref, db_ref):
+def _bwd_kernel(*refs, has_ddec):
+    if has_ddec:
+        (u_ref, dec_ref, t_ref, w_ref, a_ref, ddec_ref,
+         du_ref, dw_ref, db_ref) = refs
+    else:
+        (u_ref, dec_ref, t_ref, w_ref, a_ref,
+         du_ref, dw_ref, db_ref) = refs
     i, j = pl.program_id(0), pl.program_id(1)
 
     dec = dec_ref[0]                                       # [Co,n] f32
     diff = t_ref[0].astype(jnp.float32) - dec
     a1 = a_ref[0, 0]
     a2 = a_ref[0, 1]
-    # d/d(dec) of [a1*sum|t-dec| + a2*sum((t-dec)^2)] plus the decoded
-    # cotangent itself
-    dout = (ddec_ref[0].astype(jnp.float32)
-            - a1 * jnp.sign(diff) - 2.0 * a2 * diff)       # [Co,n] f32
+    # d/d(dec) of [a1*sum|t-dec| + a2*sum((t-dec)^2)] (plus the decoded
+    # cotangent when it is not a symbolic zero — in the train step only
+    # the sums are consumed, so the ddec input and its 25 MB read vanish)
+    dout = -a1 * jnp.sign(diff) - 2.0 * a2 * diff          # [Co,n] f32
+    if has_ddec:
+        dout = dout + ddec_ref[0].astype(jnp.float32)
 
     u = u_ref[0]                                           # [bh,W,C]
     n = u.shape[0] * u.shape[1]
-    x7 = _leaky(u).astype(jnp.float32).reshape(n, u.shape[2])
+    x7 = _leaky(u).reshape(n, u.shape[2])                  # act dtype
 
     @pl.when((i == 0) & (j == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    # wgrad: dW[Co,C] += dout @ x7 (plain NN matmul); stays in VMEM
+    # wgrad: dW[Co,C] += dout @ x7 — operands in the activation dtype with
+    # fp32 accumulation (exactly how XLA computes the unfused Conv_8
+    # wgrad); the [Co,C] accumulator never leaves VMEM between tiles
+    dout_a = dout.astype(u.dtype)
     dw_ref[...] += jax.lax.dot_general(
-        dout, x7, (((1,), (0,)), ((), ())),
+        dout_a, x7, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     db_ref[...] += jnp.sum(dout, axis=1)[:, None]
 
@@ -156,30 +166,38 @@ def _bwd_kernel(u_ref, dec_ref, t_ref, w_ref, a_ref, ddec_ref,
     # TN matmul contracting Co -> [n,C] = du's own layout after the
     # layout-free sublane split back to [bh,W,C]
     dx7 = jax.lax.dot_general(
-        dout.astype(u.dtype), w_ref[...].astype(u.dtype),
+        dout_a, w_ref[...].astype(u.dtype),
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [n,C]
-    mask = jnp.where(u.astype(jnp.float32) > 0, 1.0, _ALPHA)
-    du_ref[0] = (dx7.reshape(u.shape) * mask).astype(du_ref.dtype)
+    dx7 = dx7.reshape(u.shape)
+    du_ref[0] = jnp.where(u.astype(jnp.float32) > 0, dx7,
+                          _ALPHA * dx7).astype(du_ref.dtype)
 
 
 def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
+    import functools
+
     bsz, h, w_dim, c = u.shape
     co = w_t.shape[0]
     bh = _pick_bh(h)
     grid = (bsz, h // bh)
     nb = bh * w_dim
     t3 = pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j))
+    has_ddec = ddec_t is not None
+    in_specs = [
+        pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+        t3, t3,
+        pl.BlockSpec((co, c), lambda i, j: (0, 0)),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    args = [u, dec_t, target_t, w_t, a12]
+    if has_ddec:
+        in_specs.append(t3)
+        args.append(ddec_t)
     du, dw_t, db = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, has_ddec=has_ddec),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
-            t3, t3,
-            pl.BlockSpec((co, c), lambda i, j: (0, 0)),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            t3,
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((co, c), lambda i, j: (0, 0)),
@@ -191,7 +209,7 @@ def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
             jax.ShapeDtypeStruct((co, 1), jnp.float32),
         ],
         interpret=_INTERPRET,
-    )(u, dec_t, target_t, w_t, a12, ddec_t)
+    )(*args)
     return du, dw_t, db
 
 
@@ -223,6 +241,11 @@ def _wt(kernel, dtype):
 
 
 def _fused_fwd(u, kernel, bias, target):
+    # with symbolic_zeros=True the fwd rule receives CustomVJPPrimal
+    # wrappers (.value/.perturbed); the primal call passes raw arrays
+    u, kernel, bias, target = (
+        a.value if hasattr(a, "perturbed") else a
+        for a in (u, kernel, bias, target))
     b_, h_, wd, _ = u.shape
     w_t = _wt(kernel, u.dtype)
     co = w_t.shape[0]
@@ -233,11 +256,19 @@ def _fused_fwd(u, kernel, bias, target):
 
 
 def _fused_bwd(res, cot):
+    from jax.custom_derivatives import SymbolicZero
+
     u, w_t, target_t, dec_t = res
     ddec, dl1, dl2 = cot
     b_, h_, wd, _ = u.shape
-    ddec_t = jnp.transpose(ddec, (0, 3, 1, 2)).reshape(
-        b_, w_t.shape[0], h_ * wd)
+    if isinstance(ddec, SymbolicZero):
+        ddec_t = None          # train step: decoded's cotangent is zero
+    else:
+        ddec_t = jnp.transpose(ddec, (0, 3, 1, 2)).reshape(
+            b_, w_t.shape[0], h_ * wd)
+    zero = jnp.zeros((), jnp.float32)
+    dl1 = zero if isinstance(dl1, SymbolicZero) else dl1
+    dl2 = zero if isinstance(dl2, SymbolicZero) else dl2
     a12 = jnp.stack([dl1, dl2]).astype(jnp.float32)[None, :]   # [1,2]
     du, dw_t, db = _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t)
     dkernel = jnp.transpose(dw_t, (1, 0))[None, None]      # [1,1,C,Co] f32
@@ -246,4 +277,4 @@ def _fused_bwd(res, cot):
     return du, dkernel, db[:, 0], dtarget
 
 
-fused_output_recon.defvjp(_fused_fwd, _fused_bwd)
+fused_output_recon.defvjp(_fused_fwd, _fused_bwd, symbolic_zeros=True)

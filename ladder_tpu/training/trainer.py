@@ -59,6 +59,13 @@ class JointTrainer:
         self.mesh = mesh
         self.prior = config["prior"]
         self.plots_enabled = bool(config.get("enable_plots", 1))
+        if mesh is not None and getattr(model, "fused_output", False):
+            # the fused output-stage kernel is a single-device pallas call;
+            # under GSPMD its operands would be gathered rather than
+            # partitioned — keep the XLA path for data-parallel runs
+            print("fused_output_stage disabled under the device mesh "
+                  "(single-device kernel); using the XLA output stage.")
+            model.fused_output = False
 
         self.rng = jax.random.PRNGKey(config.get("seed", 0))
         self.rng, init_rng = jax.random.split(self.rng)

@@ -98,8 +98,28 @@ def main():
         engine.generate(args.batch * 10, seed=0)
         results["generate_img_s"] = round(
             args.batch * 10 / (time.perf_counter() - t0), 1)
+
+    # per-bucket request latency: a 1-image request dispatches to the
+    # smallest compiled bucket and must measure ~bucket-1 latency, not
+    # serve_batch compute (engine latency tiers)
+    engine.warmup()
+    bucket_latency_ms = {}
+    for b in engine.buckets:
+        xb = x[:b] if b <= x.shape[0] else np.repeat(
+            x, -(-b // x.shape[0]), axis=0)[:b]
+        for _ in range(3):
+            engine.reconstruct(xb)
+        t0 = time.perf_counter()
+        for _ in range(max(5, args.iters // 5)):
+            engine.reconstruct(xb)
+        n = max(5, args.iters // 5)
+        bucket_latency_ms[f"reconstruct@b{b}"] = round(
+            1000 * (time.perf_counter() - t0) / n, 2)
+    results["bucket_latency_ms"] = bucket_latency_ms
+
     print(json.dumps({"metric": "serving throughput (CelebA-128)",
                       "batch": args.batch, "dtype": args.dtype,
+                      "buckets": engine.buckets,
                       **results}))
 
 

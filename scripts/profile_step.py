@@ -63,20 +63,52 @@ def capture(args):
 
 
 def report(args):
-    xplanes = glob.glob(os.path.join(
-        args.logdir, "**", "*.xplane.pb"), recursive=True)
-    assert xplanes, f"no xplane.pb under {args.logdir}"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    """Per-op table parsed straight from the trace.json.gz the profiler
+    writes (the tensorboard_plugin_profile converter is broken against the
+    installed TF 2.21, so this parses the chrome-trace export directly).
+    Aggregates the '/device:TPU:0' 'XLA Ops' lane; each event carries
+    bytes_accessed / model_flops in its args for roofline math."""
+    import collections
+    import gzip
 
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats returns a JSON table: {"data": [...]} or list-of-lists; handle
-    # the gviz-style format the plugin emits.
-    print(type(rows))
-    if isinstance(rows, dict):
-        print(json.dumps(rows)[:2000])
-        return
-    print(str(rows)[:2000])
+    traces = glob.glob(os.path.join(
+        args.logdir, "**", "*.trace.json.gz"), recursive=True)
+    assert traces, f"no trace.json.gz under {args.logdir}"
+    with gzip.open(sorted(traces)[-1]) as f:
+        t = json.load(f)
+    ev = t["traceEvents"]
+    # locate the device pid and its 'XLA Ops' thread
+    dev_pid = next(e["pid"] for e in ev
+                   if e.get("ph") == "M" and e.get("name") == "process_name"
+                   and "TPU" in e["args"].get("name", ""))
+    ops_tid = next(e["tid"] for e in ev
+                   if e.get("ph") == "M" and e.get("name") == "thread_name"
+                   and e["pid"] == dev_pid
+                   and e["args"].get("name") == "XLA Ops")
+    durs = collections.defaultdict(float)
+    cnt = collections.Counter()
+    extra = {}
+    for e in ev:
+        if (e.get("ph") == "X" and e.get("pid") == dev_pid
+                and e.get("tid") == ops_tid):
+            durs[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+            if e["name"] not in extra:
+                a = e.get("args", {})
+                extra[e["name"]] = (
+                    float(a.get("bytes_accessed", 0) or 0),
+                    float(a.get("model_flops", 0) or 0))
+    total = sum(durs.values())
+    print(f"\ntotal XLA-op time {total / 1e3 / args.steps:.2f} ms/step "
+          f"over {args.steps} steps; top {args.top} ops:")
+    print(f"{'ms/step':>8} {'x':>4} {'GB/s':>6} {'TF/s':>6}  op")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:args.top]:
+        per_call_s = d / cnt[name] / 1e6
+        nbytes, flops = extra.get(name, (0.0, 0.0))
+        gbs = nbytes / per_call_s / 1e9 if per_call_s else 0.0
+        tfs = flops / per_call_s / 1e12 if per_call_s else 0.0
+        print(f"{d / 1e3 / args.steps:8.3f} {cnt[name] // args.steps:>4} "
+              f"{gbs:6.0f} {tfs:6.1f}  {name[:70]}")
 
 
 def main():

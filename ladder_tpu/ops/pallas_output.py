@@ -40,6 +40,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 _INTERPRET = False  # flipped by tests on CPU
 
+# Feed the kernel a [H,W,B,C] logical view of u (and produce du the same
+# way). XLA lays the 268 MB conv activation out as {3,0,2,1:T(8,128)}
+# (minor->major C,B,W,H) for the neighbouring convolutions, while a
+# custom call pins operands to the default descending layout — on the
+# NHWC logical shape that difference forces full-tensor copies around the
+# call. The [H,W,B,C] logical shape's DEFAULT layout describes exactly
+# the conv-preferred bytes, so the transposes at the boundary can resolve
+# to bitcasts instead of copies.
+_TRANSPOSED_VIEW = True
+
 _ALPHA = 0.2  # tf.nn.leaky_relu default (models.py:82)
 
 
@@ -62,10 +72,12 @@ def _pick_bh(h):
 # forward: dec = round(leaky(u) @ W8 + b8); l1/l2 sums over the batch
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref):
+def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref,
+                *, tview):
     i, j = pl.program_id(0), pl.program_id(1)
 
-    u = u_ref[0]                                           # [bh,W,C] act dt
+    # tview: u arrives as a [bh,W,1,C] block of the [H,W,B,C] view
+    u = u_ref[:, :, 0] if tview else u_ref[0]              # [bh,W,C] act dt
     n = u.shape[0] * u.shape[1]
     x7 = _leaky(u).reshape(n, u.shape[2])                  # layout-free
     w = w_ref[...].astype(u.dtype)                         # [Co,C]
@@ -90,17 +102,29 @@ def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref):
     l2_ref[0, 0] += jnp.sum(diff * diff)
 
 
-def _fwd(u, w_t, b, target_t):
-    bsz, h, w_dim, c = u.shape
+def _u_spec(bsz, h, w_dim, c, bh, tview):
+    """u/du block spec: [1,bh,W,C] of NHWC, or [bh,W,1,C] of the
+    conv-layout-compatible [H,W,B,C] view."""
+    if tview:
+        return pl.BlockSpec((bh, w_dim, 1, c), lambda i, j: (j, 0, i, 0))
+    return pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0))
+
+
+def _fwd(u, w_t, b, target_t, tview):
+    if tview:
+        h, w_dim, bsz, c = u.shape
+    else:
+        bsz, h, w_dim, c = u.shape
     co = w_t.shape[0]
     bh = _pick_bh(h)
     grid = (bsz, h // bh)
     nb = bh * w_dim
+    import functools
     dec_t, l1, l2 = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, tview=tview),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+            _u_spec(bsz, h, w_dim, c, bh, tview),
             pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j)),
             pl.BlockSpec((co, c), lambda i, j: (0, 0)),
             pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
@@ -124,7 +148,7 @@ def _fwd(u, w_t, b, target_t):
 # backward: ONE pass over u producing du, dW8, db8
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(*refs, has_ddec):
+def _bwd_kernel(*refs, has_ddec, tview):
     if has_ddec:
         (u_ref, dec_ref, t_ref, w_ref, a_ref, ddec_ref,
          du_ref, dw_ref, db_ref) = refs
@@ -144,7 +168,7 @@ def _bwd_kernel(*refs, has_ddec):
     if has_ddec:
         dout = dout + ddec_ref[0].astype(jnp.float32)
 
-    u = u_ref[0]                                           # [bh,W,C]
+    u = u_ref[:, :, 0] if tview else u_ref[0]              # [bh,W,C]
     n = u.shape[0] * u.shape[1]
     x7 = _leaky(u).reshape(n, u.shape[2])                  # act dtype
 
@@ -170,14 +194,21 @@ def _bwd_kernel(*refs, has_ddec):
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                # [n,C]
     dx7 = dx7.reshape(u.shape)
-    du_ref[0] = jnp.where(u.astype(jnp.float32) > 0, dx7,
-                          _ALPHA * dx7).astype(du_ref.dtype)
+    du = jnp.where(u.astype(jnp.float32) > 0, dx7,
+                   _ALPHA * dx7).astype(du_ref.dtype)
+    if tview:
+        du_ref[:, :, 0] = du
+    else:
+        du_ref[0] = du
 
 
-def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
+def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t, tview):
     import functools
 
-    bsz, h, w_dim, c = u.shape
+    if tview:
+        h, w_dim, bsz, c = u.shape
+    else:
+        bsz, h, w_dim, c = u.shape
     co = w_t.shape[0]
     bh = _pick_bh(h)
     grid = (bsz, h // bh)
@@ -185,7 +216,7 @@ def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
     t3 = pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j))
     has_ddec = ddec_t is not None
     in_specs = [
-        pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+        _u_spec(bsz, h, w_dim, c, bh, tview),
         t3, t3,
         pl.BlockSpec((co, c), lambda i, j: (0, 0)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -195,11 +226,11 @@ def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t):
         in_specs.append(t3)
         args.append(ddec_t)
     du, dw_t, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, has_ddec=has_ddec),
+        functools.partial(_bwd_kernel, has_ddec=has_ddec, tview=tview),
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0)),
+            _u_spec(bsz, h, w_dim, c, bh, tview),
             pl.BlockSpec((co, c), lambda i, j: (0, 0)),
             pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
         ],
@@ -250,17 +281,22 @@ def _fused_fwd(u, kernel, bias, target):
     w_t = _wt(kernel, u.dtype)
     co = w_t.shape[0]
     target_t = jnp.transpose(target, (0, 3, 1, 2)).reshape(b_, co, h_ * wd)
-    dec_t, l1, l2 = _fwd(u, w_t, bias[:, None], target_t)
+    uv = jnp.transpose(u, (1, 2, 0, 3)) if _TRANSPOSED_VIEW else u
+    dec_t, l1, l2 = _fwd(uv, w_t, bias[:, None], target_t,
+                         _TRANSPOSED_VIEW)
     decoded = jnp.transpose(dec_t.reshape(b_, co, h_, wd), (0, 2, 3, 1))
-    return (decoded, l1, l2), (u, w_t, target_t, dec_t)
+    return (decoded, l1, l2), (uv, w_t, target_t, dec_t)
 
 
 def _fused_bwd(res, cot):
     from jax.custom_derivatives import SymbolicZero
 
-    u, w_t, target_t, dec_t = res
+    uv, w_t, target_t, dec_t = res
     ddec, dl1, dl2 = cot
-    b_, h_, wd, _ = u.shape
+    if _TRANSPOSED_VIEW:
+        h_, wd, b_, _ = uv.shape
+    else:
+        b_, h_, wd, _ = uv.shape
     if isinstance(ddec, SymbolicZero):
         ddec_t = None          # train step: decoded's cotangent is zero
     else:
@@ -270,10 +306,12 @@ def _fused_bwd(res, cot):
     dl1 = zero if isinstance(dl1, SymbolicZero) else dl1
     dl2 = zero if isinstance(dl2, SymbolicZero) else dl2
     a12 = jnp.stack([dl1, dl2]).astype(jnp.float32)[None, :]   # [1,2]
-    du, dw_t, db = _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t)
+    du, dw_t, db = _bwd_call(uv, w_t, target_t, dec_t, a12, ddec_t,
+                             _TRANSPOSED_VIEW)
+    if _TRANSPOSED_VIEW:
+        du = jnp.transpose(du, (2, 0, 1, 3))               # back to NHWC
     dkernel = jnp.transpose(dw_t, (1, 0))[None, None]      # [1,1,C,Co] f32
-    dtarget = jnp.zeros(
-        (u.shape[0], u.shape[1], u.shape[2], w_t.shape[0]), jnp.float32)
+    dtarget = jnp.zeros((b_, h_, wd, w_t.shape[0]), jnp.float32)
     return du, dkernel, db[:, 0], dtarget
 
 

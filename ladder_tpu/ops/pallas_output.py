@@ -15,14 +15,22 @@ mask on du — so computing dW8, db8 and du in ONE kernel removes an entire
 268 MB read pass, and the tiny [C,3] weight never leaves VMEM between
 tiles.
 
-Layout note (the first version's mistake): every 3-channel tensor is
-carried CHANNEL-OUTER ([B,3,H,W] in HBM, [3,bh,W] blocks in VMEM). A block
-with minor dimension 3 tiles to (8,128) vector registers with 3/128 lanes
-used — a 42x VMEM-footprint and DMA amplification that cost more than the
-fusion saved (measured 22 ms/step vs the 12.7 baseline). With channels
-outer, every block is lane-packed; the XLA-side transposes of the small
-[B,H,W,3] tensors cost ~0.1 ms and the decoded->NHWC transpose is dead
-code in the train step (nothing consumes decoded there).
+Layout notes (hard-won on v5e):
+1. Every 3-channel tensor is carried channel-outer and pixel-flattened
+   ([B,3,H*W] in HBM, [1,3,bh*W] blocks). A block with minor dimension 3
+   tiles to (8,128) vector registers with 3/128 lanes used — a 42x
+   VMEM-footprint and DMA amplification that cost more than the fusion
+   saved (measured 22 ms/step vs the 12.7 baseline). Lane-packed blocks
+   recovered 6.7 ms; the XLA-side transposes of the small [B,H,W,3]
+   tensors cost ~0.1 ms and the decoded->NHWC transpose is dead code in
+   the train step (nothing consumes decoded there).
+2. Mosaic accepts only plain 2-D single-contracting-dim dot_generals, and
+   rejects bf16 comparisons — all reshapes here merge/split sublane dims
+   only (layout-free) and compares run in f32.
+3. _TRANSPOSED_VIEW feeds the kernel a [H,W,B,C] logical view of u whose
+   default layout matches the {3,0,2,1} layout XLA assigns the
+   neighbouring convolutions, so the custom-call boundary transposes can
+   resolve to bitcasts instead of 268 MB copies.
 
 Numerics match the unfused path: the conv computes in the activation dtype
 on the MXU with fp32 accumulation, the result is rounded to the activation

@@ -144,6 +144,39 @@ def test_compute_loss_parity_with_fused_output():
                                    err_msg=name)
 
 
+def test_trainer_disables_fused_output_under_mesh(tmp_path, monkeypatch):
+    """The fused output stage is a single-device pallas call; the trainer
+    must fall back to the XLA path when a device mesh is wired in."""
+    import jax
+
+    from ladder_tpu.data.celeba import CelebAData
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.parallel.mesh import make_mesh
+    from ladder_tpu.training.celeba_trainer import CelebATrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    cfg = make_config(
+        exp_name="celeba", prior="standard_gaussian",
+        dim_input_x=128, dim_input_y=128, dim_input_channel=3,
+        num_hidden_units=16, code_size=16, batch_size=8, num_epochs=1,
+        n_MC_samples=2, num_iter_to_plot=0, enable_plots=0,
+        synthetic_n_train=16, synthetic_n_val=8, synthetic_n_test=8,
+        data_path=str(tmp_path / "celeba") + "/",
+        fused_output_stage=1)
+    cfg["result_dir"] = str(tmp_path / "result") + "/"
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+    model = make_model(cfg)
+    assert model.fused_output
+    trainer = CelebATrainer(model=model, data=CelebAData(cfg), config=cfg,
+                            mesh=make_mesh())
+    assert not model.fused_output  # guard fired
+    del trainer
+
+
 def test_trunk_only_matches_full_decoder_prefix():
     """decode_trunk + explicit tail == decode (checkpoint compatibility of
     the split)."""

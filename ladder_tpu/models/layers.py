@@ -19,29 +19,13 @@ from flax import linen as nn
 # TF's tf.nn.leaky_relu default alpha is 0.2; jax.nn.leaky_relu defaults to
 # 0.01, so always go through this helper.
 #
-# Custom VJP that saves the OUTPUT as its residual instead of the input:
-# the slope is positive so sign(y) == sign(x) and the backward mask is
-# exactly the same. This matters on TPU because leaky outputs immediately
-# feed convolutions, whose backward already keeps the conv INPUT (= this
-# y) alive for wgrad — with an input-saving leaky, autodiff keeps BOTH x
-# and y as residuals, and the big decoder activations (e.g. the 268 MB
-# [B,128,128,C] tensor ahead of Conv_8 at the benchmark shape) get read
-# from HBM once more than necessary in the backward.
-@jax.custom_vjp
+# A custom-VJP variant saving the OUTPUT as its residual (sign-compatible
+# for the positive slope) was built and A/B-benched in round 3: 13.63 vs
+# 13.27 ms/step for plain autodiff on the CelebA benchmark — XLA already
+# shares the residual buffers optimally and the custom rule only perturbed
+# its rematerialisation choices, so the plain version ships.
 def leaky_relu(x):
     return nn.leaky_relu(x, negative_slope=0.2)
-
-
-def _leaky_fwd(x):
-    y = nn.leaky_relu(x, negative_slope=0.2)
-    return y, y
-
-
-def _leaky_bwd(y, g):
-    return (jnp.where(y > 0, g, jnp.asarray(0.2, g.dtype) * g),)
-
-
-leaky_relu.defvjp(_leaky_fwd, _leaky_bwd)
 
 
 def get_activation(name) -> Callable:

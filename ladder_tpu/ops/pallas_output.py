@@ -84,10 +84,12 @@ def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref,
                 *, tview):
     i, j = pl.program_id(0), pl.program_id(1)
 
-    # tview: u arrives as a [bh,W,1,C] block of the [H,W,B,C] view
-    u = u_ref[:, :, 0] if tview else u_ref[0]              # [bh,W,C] act dt
-    n = u.shape[0] * u.shape[1]
-    x7 = _leaky(u).reshape(n, u.shape[2])                  # layout-free
+    # tview: u arrives as a [bh,W,B,C] block of the [H,W,B,C] view and the
+    # 3-channel tensors as (co, bh*W*B) blocks of [Co, H*W*B]
+    u = u_ref[...] if tview else u_ref[0]                  # [...,C] act dt
+    c = u.shape[-1]
+    n = u.size // c
+    x7 = _leaky(u).reshape(n, c)                           # layout-free
     w = w_ref[...].astype(u.dtype)                         # [Co,C]
     # NT matmul contracting C -> [Co,n], lane-packed (Mosaic needs plain
     # 2-D single-dim contractions)
@@ -97,9 +99,13 @@ def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref,
     dec = dec + b_ref[...].astype(jnp.float32)             # [Co,1]
     # round exactly where the unfused decoder materialises its output
     dec = dec.astype(u.dtype).astype(jnp.float32)
-    dec_ref[0] = dec
+    tgt = t_ref[...] if tview else t_ref[0]
+    if tview:
+        dec_ref[...] = dec
+    else:
+        dec_ref[0] = dec
 
-    diff = t_ref[0].astype(jnp.float32) - dec              # [Co,n]
+    diff = tgt.astype(jnp.float32) - dec                   # [Co,n]
 
     @pl.when((i == 0) & (j == 0))
     def _init():
@@ -110,40 +116,68 @@ def _fwd_kernel(u_ref, t_ref, w_ref, b_ref, dec_ref, l1_ref, l2_ref,
     l2_ref[0, 0] += jnp.sum(diff * diff)
 
 
-def _u_spec(bsz, h, w_dim, c, bh, tview):
-    """u/du block spec: [1,bh,W,C] of NHWC, or [bh,W,1,C] of the
-    conv-layout-compatible [H,W,B,C] view."""
+def _pick_bw(w_dim, bsz):
+    """Cols per tview tile: n = bw*B pixels, kept ~2048 like the NHWC
+    path's bh*W — the backward holds u/x7/du act-dtype vectors, their f32
+    compare copies and the [n,C] f32 dgrad accumulator at once, and a
+    full-batch row tile (n = 8192) overflows the 16 MB scoped-vmem stack."""
+    bw = max(1, min(w_dim, 2048 // max(1, bsz)))
+    while w_dim % bw:
+        bw -= 1
+    return bw
+
+
+def _u_spec(bsz, h, w_dim, c, bh, bw, tview):
+    """u/du block spec: [1,bh,W,C] of NHWC, or [1,bw,B,C] of the
+    conv-layout-compatible [H,W,B,C] view (the block's last two dims
+    equal the array's, so tiles stay (8,128)-register-packed)."""
     if tview:
-        return pl.BlockSpec((bh, w_dim, 1, c), lambda i, j: (j, 0, i, 0))
+        return pl.BlockSpec((1, bw, bsz, c), lambda i, j: (i, j, 0, 0))
     return pl.BlockSpec((1, bh, w_dim, c), lambda i, j: (i, j, 0, 0))
 
 
-def _fwd(u, w_t, b, target_t, tview):
+def _c3_spec(co, nb, tview, wblocks=1):
+    """dec/target/ddec block spec: (1,co,nb) of [B,Co,H*W], or (co,nb) of
+    the pixel-flattened [Co,H*W*B] (grid (H, W/bw) walks its columns in
+    row-major order, so the flat block index is i*wblocks + j)."""
+    if tview:
+        return pl.BlockSpec((co, nb), lambda i, j: (0, i * wblocks + j))
+    return pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j))
+
+
+def _tiling(u, tview):
+    """(bsz, h, w_dim, c, bh, bw, grid, nb) for either view."""
     if tview:
         h, w_dim, bsz, c = u.shape
-    else:
-        bsz, h, w_dim, c = u.shape
-    co = w_t.shape[0]
+        bw = _pick_bw(w_dim, bsz)
+        return bsz, h, w_dim, c, 1, bw, (h, w_dim // bw), bw * bsz
+    bsz, h, w_dim, c = u.shape
     bh = _pick_bh(h)
-    grid = (bsz, h // bh)
-    nb = bh * w_dim
+    return bsz, h, w_dim, c, bh, w_dim, (bsz, h // bh), bh * w_dim
+
+
+def _fwd(u, w_t, b, target_t, tview):
+    bsz, h, w_dim, c, bh, bw, grid, nb = _tiling(u, tview)
+    co = w_t.shape[0]
+    dec_shape = ((co, h * w_dim * bsz) if tview
+                 else (bsz, co, h * w_dim))
     import functools
     dec_t, l1, l2 = pl.pallas_call(
         functools.partial(_fwd_kernel, tview=tview),
         grid=grid,
         in_specs=[
-            _u_spec(bsz, h, w_dim, c, bh, tview),
-            pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j)),
+            _u_spec(bsz, h, w_dim, c, bh, bw, tview),
+            _c3_spec(co, nb, tview, grid[1]),
             pl.BlockSpec((co, c), lambda i, j: (0, 0)),
             pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j)),
+            _c3_spec(co, nb, tview, grid[1]),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, co, h * w_dim), jnp.float32),
+            jax.ShapeDtypeStruct(dec_shape, jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ],
@@ -165,8 +199,9 @@ def _bwd_kernel(*refs, has_ddec, tview):
          du_ref, dw_ref, db_ref) = refs
     i, j = pl.program_id(0), pl.program_id(1)
 
-    dec = dec_ref[0]                                       # [Co,n] f32
-    diff = t_ref[0].astype(jnp.float32) - dec
+    dec = dec_ref[...] if tview else dec_ref[0]            # [Co,n] f32
+    tgt = t_ref[...] if tview else t_ref[0]
+    diff = tgt.astype(jnp.float32) - dec
     a1 = a_ref[0, 0]
     a2 = a_ref[0, 1]
     # d/d(dec) of [a1*sum|t-dec| + a2*sum((t-dec)^2)] (plus the decoded
@@ -174,11 +209,13 @@ def _bwd_kernel(*refs, has_ddec, tview):
     # the sums are consumed, so the ddec input and its 25 MB read vanish)
     dout = -a1 * jnp.sign(diff) - 2.0 * a2 * diff          # [Co,n] f32
     if has_ddec:
-        dout = dout + ddec_ref[0].astype(jnp.float32)
+        dout = dout + (ddec_ref[...] if tview
+                       else ddec_ref[0]).astype(jnp.float32)
 
-    u = u_ref[:, :, 0] if tview else u_ref[0]              # [bh,W,C]
-    n = u.shape[0] * u.shape[1]
-    x7 = _leaky(u).reshape(n, u.shape[2])                  # act dtype
+    u = u_ref[...] if tview else u_ref[0]                  # [...,C]
+    c = u.shape[-1]
+    n = u.size // c
+    x7 = _leaky(u).reshape(n, c)                           # act dtype
 
     @pl.when((i == 0) & (j == 0))
     def _init():
@@ -197,15 +234,17 @@ def _bwd_kernel(*refs, has_ddec, tview):
     # dgrad through the leaky mask (x7 > 0 <=> u > 0, positive slope):
     # TN matmul contracting Co -> [n,C] = du's own layout after the
     # layout-free sublane split back to [bh,W,C]
+    # Mosaic requires a 32-bit matmul accumulator; round to the act dtype
+    # after (identical to XLA's dgrad, which accumulates f32 then rounds)
     dx7 = jax.lax.dot_general(
         dout_a, w_ref[...].astype(u.dtype),
         (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)                # [n,C]
+        preferred_element_type=jnp.float32).astype(u.dtype)  # [n,C]
     dx7 = dx7.reshape(u.shape)
     du = jnp.where(u.astype(jnp.float32) > 0, dx7,
                    _ALPHA * dx7).astype(du_ref.dtype)
     if tview:
-        du_ref[:, :, 0] = du
+        du_ref[...] = du
     else:
         du_ref[0] = du
 
@@ -213,18 +252,12 @@ def _bwd_kernel(*refs, has_ddec, tview):
 def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t, tview):
     import functools
 
-    if tview:
-        h, w_dim, bsz, c = u.shape
-    else:
-        bsz, h, w_dim, c = u.shape
+    bsz, h, w_dim, c, bh, bw, grid, nb = _tiling(u, tview)
     co = w_t.shape[0]
-    bh = _pick_bh(h)
-    grid = (bsz, h // bh)
-    nb = bh * w_dim
-    t3 = pl.BlockSpec((1, co, nb), lambda i, j: (i, 0, j))
+    t3 = _c3_spec(co, nb, tview, grid[1])
     has_ddec = ddec_t is not None
     in_specs = [
-        _u_spec(bsz, h, w_dim, c, bh, tview),
+        _u_spec(bsz, h, w_dim, c, bh, bw, tview),
         t3, t3,
         pl.BlockSpec((co, c), lambda i, j: (0, 0)),
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -238,7 +271,7 @@ def _bwd_call(u, w_t, target_t, dec_t, a12, ddec_t, tview):
         grid=grid,
         in_specs=in_specs,
         out_specs=[
-            _u_spec(bsz, h, w_dim, c, bh, tview),
+            _u_spec(bsz, h, w_dim, c, bh, bw, tview),
             pl.BlockSpec((co, c), lambda i, j: (0, 0)),
             pl.BlockSpec((co, 1), lambda i, j: (0, 0)),
         ],
@@ -288,11 +321,23 @@ def _fused_fwd(u, kernel, bias, target):
     b_, h_, wd, _ = u.shape
     w_t = _wt(kernel, u.dtype)
     co = w_t.shape[0]
-    target_t = jnp.transpose(target, (0, 3, 1, 2)).reshape(b_, co, h_ * wd)
-    uv = jnp.transpose(u, (1, 2, 0, 3)) if _TRANSPOSED_VIEW else u
+    if _TRANSPOSED_VIEW:
+        # pixel order (h, w, b) to match the [H,W,B,C] view's tiles
+        target_t = jnp.transpose(target, (3, 1, 2, 0)).reshape(
+            co, h_ * wd * b_)
+        uv = jnp.transpose(u, (1, 2, 0, 3))
+    else:
+        target_t = jnp.transpose(target, (0, 3, 1, 2)).reshape(
+            b_, co, h_ * wd)
+        uv = u
     dec_t, l1, l2 = _fwd(uv, w_t, bias[:, None], target_t,
                          _TRANSPOSED_VIEW)
-    decoded = jnp.transpose(dec_t.reshape(b_, co, h_, wd), (0, 2, 3, 1))
+    if _TRANSPOSED_VIEW:
+        decoded = jnp.transpose(dec_t.reshape(co, h_, wd, b_),
+                                (3, 1, 2, 0))
+    else:
+        decoded = jnp.transpose(dec_t.reshape(b_, co, h_, wd),
+                                (0, 2, 3, 1))
     return (decoded, l1, l2), (uv, w_t, target_t, dec_t)
 
 
@@ -307,6 +352,9 @@ def _fused_bwd(res, cot):
         b_, h_, wd, _ = uv.shape
     if isinstance(ddec, SymbolicZero):
         ddec_t = None          # train step: decoded's cotangent is zero
+    elif _TRANSPOSED_VIEW:
+        ddec_t = jnp.transpose(ddec, (3, 1, 2, 0)).reshape(
+            w_t.shape[0], h_ * wd * b_)
     else:
         ddec_t = jnp.transpose(ddec, (0, 3, 1, 2)).reshape(
             b_, w_t.shape[0], h_ * wd)

@@ -34,6 +34,7 @@ def capture(args):
         "TRAIN_VAE": 1, "TRAIN_sigma": 1, "TRAIN_prior": 1,
         "TRAIN_inner_sigma": 1, "sg_pretraining": 0,
         "dtype": args.dtype, "fused_train_step": args.fused,
+        "fused_output_stage": args.fused_output,
     })
     model = make_model(cfg)
     state = init_state(model, jax.random.PRNGKey(0))
@@ -117,6 +118,7 @@ def main():
     ap.add_argument("--hidden", type=int, default=512)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", type=int, default=2)
+    ap.add_argument("--fused-output", type=int, default=0)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--logdir", default="/tmp/ladder_profile")

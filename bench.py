@@ -21,7 +21,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--repeats", type=int, default=5,
                     help="timed measurement repeats; the JSON reports the "
                          "median with min/max spread (the tunneled dev chip "
@@ -39,9 +39,14 @@ def main():
                          "same JSON line (0 disables)")
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
-    ap.add_argument("--steps-per-call", type=int, default=10,
+    ap.add_argument("--steps-per-call", type=int, default=20,
                     help="K>1: run K steps per dispatch via lax.scan "
-                         "(amortises host dispatch latency)")
+                         "(amortises host dispatch latency). 600 steps at "
+                         "K=20 measures the device's own program rate with "
+                         "<0.5%% run-to-run spread on the tunneled chip "
+                         "(200 steps at K=10 wanders 3-6%% on bad-RPC days "
+                         "because each repeat refills the dispatch pipeline "
+                         "and fewer calls amortise the ~40-58 ms/call RPC)")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")

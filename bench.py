@@ -62,6 +62,15 @@ def main():
                          "mesh (params replicated; per-chip batch = batch/N)")
     args = ap.parse_args()
 
+    if args.mesh > 0 and args.fused_output:
+        # same guard the trainer applies (training/trainer.py): the pallas
+        # custom call can't be partitioned by GSPMD — under a mesh XLA
+        # would all-gather the 268 MB operand (or fail to shard), so the
+        # bench would silently measure gather traffic
+        print("fused-output disabled under --mesh (unpartitionable "
+              "custom call)", file=sys.stderr)
+        args.fused_output = 0
+
     import jax
     import jax.numpy as jnp
 

@@ -379,9 +379,19 @@ def fit_bgmm_restarts(rng, x, k, n_init=1, **kwargs):
         return fit_bgmm(rng, x, k, **kwargs)
     rngs = jax.random.split(rng, n_init)
     fits, resps = jax.vmap(lambda r: fit_bgmm(r, x, k, **kwargs))(rngs)
-    best = jnp.argmax(fits.lower_bound)
-    fit = jax.tree.map(lambda a: a[best], fits)
-    return fit, resps[best]
+    return _select_best_restart(fits, resps)
+
+
+def _select_best_restart(fits, resps):
+    """Pick the restart with the best FINITE lower bound. A numerically
+    diverged restart reports a NaN bound; a bare argmax would pick it
+    (NaN compares as max on TPU/numpy), where sklearn's sequential
+    `lb > best` comparison skips it — mask to -inf so only finite bounds
+    can win."""
+    lbs = jnp.where(jnp.isfinite(fits.lower_bound), fits.lower_bound,
+                    -jnp.inf)
+    best = jnp.argmax(lbs)
+    return jax.tree.map(lambda a: a[best], fits), resps[best]
 
 
 # ---------------------------------------------------------------------------

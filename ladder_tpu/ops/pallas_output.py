@@ -367,7 +367,20 @@ def _fused_bwd(res, cot):
     if _TRANSPOSED_VIEW:
         du = jnp.transpose(du, (2, 0, 1, 3))               # back to NHWC
     dkernel = jnp.transpose(dw_t, (1, 0))[None, None]      # [1,1,C,Co] f32
-    dtarget = jnp.zeros((b_, h_, wd, w_t.shape[0]), jnp.float32)
+    # target's cotangent, in plain jnp OUTSIDE the kernel: training never
+    # differentiates w.r.t. the image data, and then this whole expression
+    # is dead code XLA eliminates — but a caller probing d(loss)/d(target)
+    # (input-sensitivity, adversarial) must get the true gradient, not the
+    # silent zero a placeholder would give. d/dt [a1*sum|t-d| +
+    # a2*sum(t-d)^2] = a1*sign(t-d) + 2*a2*(t-d); decoded's cotangent
+    # contributes nothing (dec does not depend on target).
+    diff = target_t.astype(jnp.float32) - dec_t
+    dt_t = dl1 * jnp.sign(diff) + 2.0 * dl2 * diff
+    co = w_t.shape[0]
+    if _TRANSPOSED_VIEW:
+        dtarget = jnp.transpose(dt_t.reshape(co, h_, wd, b_), (3, 1, 2, 0))
+    else:
+        dtarget = jnp.transpose(dt_t.reshape(b_, co, h_, wd), (0, 2, 3, 1))
     return du, dkernel, db[:, 0], dtarget
 
 

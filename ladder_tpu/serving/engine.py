@@ -73,6 +73,17 @@ class InferenceEngine:
         latency instead of serve_batch compute; requests larger than
         serve_batch are chunked. Buckets incompatible with the mesh
         (not divisible by mesh_devices) are dropped.
+
+        BatchNorm caveat: the CelebA encoder normalises with BATCH
+        statistics by construction (the reference graph is always in
+        training mode and keeps no moving averages — models.py:471, a
+        preserved parity quirk), so its outputs depend on everything in
+        the compiled batch, including the repeat-padding rows. That was
+        equally true of the pre-bucket engine (pad counts varied with
+        request size); bucketing only changes WHICH padded composition a
+        given request size sees. Dispatch is deterministic (same request
+        -> same bucket -> same result); MNIST-family models are BN-free
+        and bucket-invariant, which tests/test_serving.py pins.
     dtype : 'float32' (default) or 'bfloat16' for the conv stacks.
     mesh_devices : 0 = single device; N>0 = shard batch over N devices.
     """

@@ -1,4 +1,4 @@
-from ladder_tpu.training.losses import compute_loss, identity_gm, outer_forward
+from ladder_tpu.training.losses import compute_loss, identity_gm
 from ladder_tpu.training.optim import adam_init, adam_update, clip_grads
 from ladder_tpu.training.schedules import all_lrs
 from ladder_tpu.training.step import (
@@ -12,7 +12,6 @@ from ladder_tpu.training.step import (
 __all__ = [
     "compute_loss",
     "identity_gm",
-    "outer_forward",
     "adam_init",
     "adam_update",
     "clip_grads",

@@ -38,15 +38,7 @@ from ladder_tpu.ops.distributions import (
 )
 
 
-def outer_forward(model, params, x, rng):
-    """Encode -> sample z -> decode. Returns dict of intermediates."""
-    code_mean, code_std = model.encode(params, x)
-    z = sample_diag_gaussian(rng, code_mean, code_std)
-    decoded = model.decode(params, z)
-    return dict(code_mean=code_mean, code_std=code_std, z=z, decoded=decoded)
-
-
-def _use_fused_output(model, x):
+def _use_fused_output(model):
     """The fused leaky->Conv_8->loss-sums output stage applies when the
     model opts in and the backend can run the Pallas kernel (TPU, or CPU
     interpret mode in tests)."""
@@ -81,7 +73,7 @@ def compute_loss(model, params, x, rng, gm=None, flags=None):
     code_mean, code_std = model.encode(params, x)
     z = sample_diag_gaussian(rng_z, code_mean, code_std)
     l1_sum = l2_sum = None
-    if _use_fused_output(model, x):
+    if _use_fused_output(model):
         # one-pass output stage: decoded + reconstruction sums, with a
         # single-pass custom backward (ops/pallas_output.py)
         from ladder_tpu.ops.pallas_output import fused_output_recon

@@ -75,17 +75,24 @@ def report(args):
     traces = glob.glob(os.path.join(
         args.logdir, "**", "*.trace.json.gz"), recursive=True)
     assert traces, f"no trace.json.gz under {args.logdir}"
-    with gzip.open(sorted(traces)[-1]) as f:
+    with gzip.open(max(traces, key=os.path.getmtime)) as f:
         t = json.load(f)
     ev = t["traceEvents"]
     # locate the device pid and its 'XLA Ops' thread
-    dev_pid = next(e["pid"] for e in ev
-                   if e.get("ph") == "M" and e.get("name") == "process_name"
-                   and "TPU" in e["args"].get("name", ""))
-    ops_tid = next(e["tid"] for e in ev
-                   if e.get("ph") == "M" and e.get("name") == "thread_name"
-                   and e["pid"] == dev_pid
-                   and e["args"].get("name") == "XLA Ops")
+    dev_pid = next((e["pid"] for e in ev
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e["args"].get("name", "")), None)
+    if dev_pid is None:
+        raise SystemExit("trace has no TPU device process — was the "
+                         "capture run on CPU? (per-op reporting needs the "
+                         "TPU 'XLA Ops' lane)")
+    ops_tid = next((e["tid"] for e in ev
+                    if e.get("ph") == "M" and e.get("name") == "thread_name"
+                    and e["pid"] == dev_pid
+                    and e["args"].get("name") == "XLA Ops"), None)
+    if ops_tid is None:
+        raise SystemExit("no 'XLA Ops' thread in the TPU process — "
+                         "unexpected trace layout for this profiler version")
     durs = collections.defaultdict(float)
     cnt = collections.Counter()
     extra = {}

@@ -104,10 +104,16 @@ def make_handler(engine):
                 if route == "/represent":
                     mean, std = engine.represent(x)
                     return self._send_npy(np.stack([mean, std]))
-            except Exception as e:  # noqa: BLE001 — any bad input (wrong
-                # rank/width raises TypeError/flax shape errors inside the
-                # jitted path) must answer a clean 400, not kill the socket
+            except (ValueError, TypeError, KeyError, OSError,
+                    EOFError) as e:
+                # bad input (wrong rank/width raises TypeError/flax shape
+                # errors inside the jitted path, truncated bodies OSError)
+                # answers a clean 400, not a dead socket
                 return self._send_json({"error": str(e)}, 400)
+            except Exception as e:  # noqa: BLE001 — anything else is a
+                # server-side fault (XLA resource exhaustion, bugs):
+                # report 500 so monitoring doesn't blame the client
+                return self._send_json({"error": str(e)}, 500)
             self._send_json({"error": "unknown path"}, 404)
 
         def log_message(self, fmt, *args):  # quiet by default

@@ -126,6 +126,32 @@ def test_fit_bgmm_restarts_picks_best():
     assert np.isfinite(float(fit.lower_bound))
 
 
+def test_restart_selection_skips_nan_lower_bound():
+    """A diverged restart (NaN lower bound) must never win selection —
+    argmax treats NaN as the maximum, where sklearn's sequential `>`
+    comparison skips it (base.py:739-748)."""
+    from ladder_tpu.ops.gmm import GMMFit, _select_best_restart
+    K, D, R, N = 3, 2, 3, 10
+    lbs = jnp.asarray([-50.0, jnp.nan, -20.0])
+
+    def stack(leaf_per_restart):
+        return jnp.stack(leaf_per_restart)
+
+    fits = GMMFit(
+        weights=stack([jnp.full((K,), 1.0 / K) * (r + 1) for r in range(R)]),
+        means=stack([jnp.full((K, D), float(r)) for r in range(R)]),
+        covariances=stack([jnp.eye(D)[None].repeat(K, 0) for _ in range(R)]),
+        lower_bound=lbs,
+        n_iter=jnp.asarray([5, 1, 9]),
+        converged=jnp.asarray([True, False, True]),
+    )
+    resps = jnp.stack([jnp.full((N, K), float(r)) for r in range(R)])
+    fit, resp = _select_best_restart(fits, resps)
+    assert float(fit.lower_bound) == -20.0
+    assert float(fit.means[0, 0]) == 2.0
+    assert float(resp[0, 0]) == 2.0
+
+
 def _mixture_mean_loglik(weights, means, covs, x):
     """Average log density of x under the fitted mixture (full-cov)."""
     from ladder_tpu.ops.distributions import gmm_cholesky, gmm_logpdf

@@ -78,6 +78,31 @@ def test_gradient_parity(dtype):
                                    rtol=2e-2, atol=2e-5)
 
 
+def test_target_gradient_parity():
+    """d(loss)/d(target) must be the true gradient (sign/2*diff terms),
+    not a silent zero — input-sensitivity probes differentiate w.r.t. the
+    image data even though training never does."""
+    rng = np.random.default_rng(2)
+    shape = (2, 8, 8, 16)
+    u = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    kernel = jnp.asarray(rng.standard_normal((1, 1, 16, 3)) * 0.2,
+                         jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(3) * 0.1, jnp.float32)
+    target = jnp.asarray(rng.random((2, 8, 8, 3)), jnp.float32)
+
+    def scalar(fn):
+        def s(t):
+            _, l1, l2 = fn(u, kernel, bias, t)
+            return 0.7 * l1 + 0.3 * l2
+        return s
+
+    gf = jax.grad(scalar(po.fused_output_recon))(target)
+    ge = jax.grad(scalar(explicit))(target)
+    assert float(jnp.max(jnp.abs(ge))) > 0  # the probe is non-trivial
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(ge),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_compute_loss_parity_with_fused_output():
     """Loss-level: fused_output_stage=1 equals the explicit path on a tiny
     CelebA model — loss values and full parameter gradients."""

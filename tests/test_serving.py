@@ -87,6 +87,31 @@ def test_engine_padding_invariance(served):
     np.testing.assert_allclose(part, full[:3], rtol=1e-5, atol=1e-6)
 
 
+def test_engine_celeba_bn_bucket_determinism(tmp_path):
+    """The CelebA encoder normalises with batch statistics (reference
+    parity quirk, models.py:471), so outputs legitimately depend on the
+    padded batch composition — what MUST hold is that dispatch is
+    deterministic: the same request always hits the same bucket and
+    returns bit-identical results, and a request's outputs don't change
+    when served alone vs padded (the pad rows are repeats of row -1, so a
+    full-bucket request is composition-stable)."""
+    cfg = tiny_config(tmp_path)
+    cfg.update(exp_name="celeba", dim_input_x=128, dim_input_y=128,
+               dim_input_channel=3, num_hidden_units=16, code_size=8)
+    save_trained_like(cfg)
+    from ladder_tpu.serving import InferenceEngine
+    engine = InferenceEngine(cfg, serve_batch=4, buckets=(2,))
+    x = np.random.default_rng(5).random((3, 128, 128, 3)).astype(np.float32)
+    m1, s1 = engine.encode(x)
+    m2, s2 = engine.encode(x)
+    np.testing.assert_array_equal(m1, m2)
+    np.testing.assert_array_equal(s1, s2)
+    # full-bucket request: no pad rows, so exact across repeat calls too
+    x4 = np.concatenate([x, x[:1]], axis=0)
+    np.testing.assert_array_equal(engine.encode(x4)[0],
+                                  engine.encode(x4)[0])
+
+
 def test_engine_generate_and_density(served):
     _, _, _, engine = served
     imgs = engine.generate(11, seed=3)

@@ -87,10 +87,34 @@ def install_shims():
         d = int(np.prod([int(v) for v in inputs.shape[1:]]))
         return tf1.reshape(inputs, [-1, d])
 
+    def _batch_normalization(inputs, training=None, epsilon=1e-3,
+                             name=None):
+        # the reference only ever runs training-mode BN (is_training is a
+        # constant-True tensor, models.py:471), so batch statistics are
+        # used unconditionally; gamma/beta live under the TF1 layer names.
+        with tf1.variable_scope(name, default_name="batch_normalization"):
+            c = int(inputs.shape[-1])
+            gamma = tf1.get_variable("gamma", [c], dtype=tf1.float32,
+                                     initializer=tf1.ones_initializer())
+            beta = tf1.get_variable("beta", [c], dtype=tf1.float32,
+                                    initializer=tf1.zeros_initializer())
+            mean, var = tf1.nn.moments(inputs, axes=[0, 1, 2])
+            return tf1.nn.batch_normalization(inputs, mean, var, beta,
+                                              gamma, epsilon)
+
+    def _instance_norm(inputs, scale=False, center=False, trainable=False,
+                       epsilon=1e-6):
+        assert not (scale or center), "reference uses scale=center=False"
+        mean, var = tf1.nn.moments(inputs, axes=[1, 2], keep_dims=True)
+        return (inputs - mean) * tf1.rsqrt(var + epsilon)
+
+    contrib_layers.instance_norm = _instance_norm
+
     layers_mod = types.ModuleType("tensorflow.layers")
     layers_mod.dense = _dense
     layers_mod.conv2d = _conv2d
     layers_mod.flatten = _flatten
+    layers_mod.batch_normalization = _batch_normalization
     tf1.layers = layers_mod
 
     # ---- minimal tensorflow_probability.distributions
@@ -170,11 +194,16 @@ def main():
 
     tf1 = install_shims()
     sys.path.insert(0, "/root/reference")
-    from codes.models import MNISTModel_digit  # noqa: E402  (reference code)
+    import codes.models as ref_models  # noqa: E402  (reference code)
 
     with open(args.config) as f:
         config = json.load(f)
-    model = MNISTModel_digit(config)
+    model_cls = {
+        "mnist_digit": ref_models.MNISTModel_digit,
+        "mnist_fashion": ref_models.MNISTModel_fashion,
+        "celeba": ref_models.CelebAModel_densenet,
+    }[config["exp_name"]]
+    model = model_cls(config)
 
     data = np.load(args.batch)
     x, z, t = data["x"], data["z"], data["t"]

@@ -38,17 +38,28 @@ import pytest
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.fixture(scope="module")
-def refexec(tmp_path_factory):
+FAMILY_OVERRIDES = {
+    "mnist_digit": dict(num_hidden_units=64, code_size=8, batch_size=16),
+    "mnist_fashion": dict(exp_name="mnist_fashion", num_hidden_units=64,
+                          code_size=8, batch_size=16),
+    # h=64 keeps the CPU graph cheap; the architecture is width-generic
+    "celeba": dict(exp_name="celeba", num_hidden_units=64, code_size=16,
+                   batch_size=8, dim_input_x=128, dim_input_y=128,
+                   dim_input_channel=3),
+}
+
+
+@pytest.fixture(scope="module",
+                params=["mnist_digit", "mnist_fashion", "celeba"])
+def refexec(request, tmp_path_factory):
     pytest.importorskip("tensorflow")
     from tests.conftest import make_config
     from ladder_tpu.models.builder import make_model
     from ladder_tpu.utils import tf1_import
 
-    scratch = tmp_path_factory.mktemp("refexec")
-    cfg = make_config(num_hidden_units=64, code_size=8,
-                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2,
-                      batch_size=16)
+    scratch = tmp_path_factory.mktemp(f"refexec_{request.param}")
+    cfg = make_config(num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2,
+                      **FAMILY_OVERRIDES[request.param])
     cfg["checkpoint_dir"] = str(scratch / "ck")
     model = make_model(cfg)
     params = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(11)))
@@ -56,9 +67,12 @@ def refexec(tmp_path_factory):
                                            cfg["checkpoint_dir"])
 
     rng = np.random.default_rng(0)
-    x = rng.random((16, 28, 28, 1)).astype(np.float32)
-    z = rng.standard_normal((16, 8)).astype(np.float32)
-    t = rng.standard_normal((16, 2)).astype(np.float32)
+    b = cfg["batch_size"]
+    x = rng.random((b, cfg["dim_input_x"], cfg["dim_input_y"],
+                    cfg["dim_input_channel"])).astype(np.float32)
+    z = rng.standard_normal((b, cfg["code_size"])).astype(np.float32)
+    t = rng.standard_normal(
+        (b, cfg["representation_size"])).astype(np.float32)
     np.savez(scratch / "batch.npz", x=x, z=z, t=t)
     (scratch / "cfg.json").write_text(json.dumps(cfg))
 

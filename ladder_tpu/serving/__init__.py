@@ -17,7 +17,9 @@ GM_prior_info.npz hyper-prior fit (base.py:768-777).
   and a minimal stdlib HTTP endpoint.
 """
 
+from ladder_tpu.serving.batcher import Batcher
 from ladder_tpu.serving.engine import InferenceEngine
 from ladder_tpu.serving.export import export_inference, load_exported
 
-__all__ = ["InferenceEngine", "export_inference", "load_exported"]
+__all__ = ["Batcher", "InferenceEngine", "export_inference",
+           "load_exported"]

@@ -66,10 +66,14 @@ def make_handler(engine):
 
         def do_GET(self):
             if self.path.startswith("/healthz"):
-                return self._send_json({"ok": True,
-                                        "serve_batch": engine.serve_batch,
-                                        "buckets": engine.buckets,
-                                        "latency_ema": engine.latency_ema})
+                info = {"ok": True,
+                        "serve_batch": engine.serve_batch,
+                        "buckets": engine.buckets,
+                        "latency_ema": engine.latency_ema}
+                stats = getattr(engine, "stats", None)
+                if stats is not None:  # micro-batching frontend active
+                    info["batching"] = dict(stats)
+                return self._send_json(info)
             if self.path.startswith("/generate"):
                 from urllib.parse import parse_qs, urlparse
                 try:
@@ -139,6 +143,12 @@ def main(argv=None):
     ap.add_argument("--reconstruct", default=None)
     ap.add_argument("--export", default=None)
     ap.add_argument("--http", type=int, default=0)
+    ap.add_argument("--no-batching", action="store_true",
+                    help="disable HTTP request micro-batching (by default "
+                         "concurrent requests for the same path coalesce "
+                         "into one device batch)")
+    ap.add_argument("--batch-wait-ms", type=float, default=2.0,
+                    help="micro-batching linger window")
     ap.add_argument("--out", default="serving_out.npz")
     args = ap.parse_args(argv)
 
@@ -176,9 +186,14 @@ def main(argv=None):
     if args.http:
         from http.server import ThreadingHTTPServer
         secs = engine.warmup()
-        print(f"warmup {secs:.1f}s; serving on :{args.http}")
+        front = engine
+        if not args.no_batching:
+            from ladder_tpu.serving.batcher import Batcher
+            front = Batcher(engine, max_wait_ms=args.batch_wait_ms)
+        print(f"warmup {secs:.1f}s; serving on :{args.http} "
+              f"(micro-batching {'off' if args.no_batching else 'on'})")
         ThreadingHTTPServer(("127.0.0.1", args.http),
-                            make_handler(engine)).serve_forever()
+                            make_handler(front)).serve_forever()
 
     print("nothing to do: pass --generate/--reconstruct/--export/--http")
     return 1

@@ -246,6 +246,30 @@ def main():
                            model.customised_inner_VAE_input: z,
                            model.is_representation_input: True,
                            model.representation_input: t})
+
+        # ---- BACKWARD-pass parity: gradients of the deterministic
+        # scalars through the reference's own autodiff graph. None-grads
+        # (variables the scalar provably doesn't depend on) are skipped;
+        # the test checks the surviving set leaf-by-leaf.
+        tvars = {v.op.name: v for v in tf1.trainable_variables()}
+
+        def grads_of(scalar, prefix, feed, tag):
+            names = sorted(n for n in tvars if n.startswith(prefix))
+            gs = tf1.gradients(scalar, [tvars[n] for n in names])
+            keep = [(n, g) for n, g in zip(names, gs) if g is not None]
+            vals = sess.run([g for _, g in keep], feed_dict=feed)
+            for (n, _), v in zip(keep, vals):
+                out[f"grad::{tag}::{n}"] = v
+
+        grads_of(model.entropy_z, "encoder/",
+                 {model.original_signal: x}, "entropy_z")
+        grads_of(model.mean_pixel_error, "decoder/",
+                 {model.original_signal: x, model.is_code_input: True,
+                  model.code_input: z}, "mean_pixel_error")
+        grads_of(model.entropy_t, "prior/",
+                 {model.original_signal: x,
+                  model.is_outer_VAE_input: False,
+                  model.customised_inner_VAE_input: z}, "entropy_t")
         np.savez(args.out, **out)
     print("REFEXEC_OK")
 

@@ -1,0 +1,152 @@
+"""Micro-batching serving frontend (ladder_tpu/serving/batcher.py):
+correctness under concurrency, actual coalescing, fault isolation, and
+the HTTP drop-in surface."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from tests.test_serving import save_trained_like, tiny_config
+
+
+@pytest.fixture(scope="module")
+def batched(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("batcher")
+    cfg = tiny_config(tmp_path)
+    model, params = save_trained_like(cfg)
+    from ladder_tpu.serving import Batcher, InferenceEngine
+
+    engine = InferenceEngine(cfg, serve_batch=8)
+    # a long linger window makes coalescing deterministic in the tests
+    batcher = Batcher(engine, max_wait_ms=150.0)
+    yield cfg, engine, batcher
+    batcher.close()
+
+
+def test_concurrent_requests_coalesce_and_match(batched):
+    cfg, engine, batcher = batched
+    rng = np.random.default_rng(3)
+    xs = [rng.random((1, 28, 28, 1)).astype(np.float32) for _ in range(6)]
+    direct = [engine.encode(x) for x in xs]
+
+    before = dict(batcher.stats)
+    results = [None] * len(xs)
+    barrier = threading.Barrier(len(xs))
+
+    def worker(i):
+        barrier.wait()
+        results[i] = batcher.encode(xs[i])
+
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(xs))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
+
+    for (m, s), (dm, ds) in zip(results, direct):
+        assert m.shape == (1, cfg["code_size"])
+        np.testing.assert_allclose(m, dm, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(s, ds, rtol=1e-5, atol=1e-6)
+
+    made = batcher.stats["batches"] - before["batches"]
+    got = batcher.stats["requests"] - before["requests"]
+    assert got == len(xs)
+    # 6 single-row requests inside one 150 ms window on an 8-row budget
+    # must coalesce into strictly fewer dispatches
+    assert made < got
+    assert batcher.stats["coalesced"] > 0
+
+
+def test_row_order_preserved_multi_row(batched):
+    cfg, engine, batcher = batched
+    rng = np.random.default_rng(4)
+    a = rng.random((3, 28, 28, 1)).astype(np.float32)
+    b = rng.random((2, 28, 28, 1)).astype(np.float32)
+    out = [None, None]
+    t1 = threading.Thread(
+        target=lambda: out.__setitem__(0, batcher.reconstruct(a)))
+    t2 = threading.Thread(
+        target=lambda: out.__setitem__(1, batcher.reconstruct(b)))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    np.testing.assert_allclose(out[0], engine.reconstruct(a),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out[1], engine.reconstruct(b),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_mismatched_shapes_do_not_poison_peers(batched):
+    cfg, engine, batcher = batched
+    good = np.random.default_rng(5).random((1, 28, 28, 1)).astype(np.float32)
+    bad = np.zeros((1, 7, 7, 1), np.float32)  # wrong spatial dims
+    res = {}
+
+    def ok():
+        res["good"] = batcher.encode(good)
+
+    def boom():
+        try:
+            batcher.encode(bad)
+            res["bad"] = "no error"
+        except Exception as e:  # noqa: BLE001
+            res["bad"] = e
+
+    t1 = threading.Thread(target=ok)
+    t2 = threading.Thread(target=boom)
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    # different row shapes never share a batch: good result intact
+    np.testing.assert_allclose(res["good"][0], engine.encode(good)[0],
+                               rtol=1e-5, atol=1e-6)
+    assert isinstance(res["bad"], Exception)
+
+
+def test_rejects_empty_and_unknown(batched):
+    cfg, engine, batcher = batched
+    with pytest.raises(ValueError, match="empty batch"):
+        batcher.submit("encode", np.zeros((0, 28, 28, 1), np.float32))
+    with pytest.raises(ValueError, match="unbatchable"):
+        batcher.submit("generate", np.zeros((1, 28, 28, 1), np.float32))
+
+
+def test_delegates_engine_surface(batched):
+    cfg, engine, batcher = batched
+    assert batcher.serve_batch == engine.serve_batch
+    assert batcher.buckets == engine.buckets
+    g = batcher.generate(2, seed=0)
+    assert g.shape[0] == 2
+
+
+def test_http_handler_with_batcher(batched):
+    """make_handler accepts the Batcher as a drop-in engine and /healthz
+    reports the batching stats."""
+    import http.client
+    import json
+    import sys
+    from http.server import ThreadingHTTPServer
+
+    sys.path.insert(0, "/root/repo")
+    from serve import make_handler
+
+    cfg, engine, batcher = batched
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(batcher))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/healthz")
+        info = json.loads(conn.getresponse().read())
+        assert info["ok"] and "batching" in info
+        import io
+        buf = io.BytesIO()
+        x = np.random.default_rng(6).random((1, 28, 28, 1)).astype(np.float32)
+        np.save(buf, x)
+        conn.request("POST", "/reconstruct", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = np.load(io.BytesIO(resp.read()))
+        np.testing.assert_allclose(out, engine.reconstruct(x),
+                                   rtol=1e-5, atol=1e-6)
+    finally:
+        srv.shutdown()

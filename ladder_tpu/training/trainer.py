@@ -22,6 +22,7 @@ config['gmm_backend']='sklearn' is set for exact-parity experiments.
 from __future__ import annotations
 
 import os
+import signal
 import time
 
 import jax
@@ -212,18 +213,50 @@ class JointTrainer:
         """Run the remaining epochs. After a full-state restore cur_epoch is
         the last completed epoch (base.py:848-860 saves per epoch), so a
         resume trains exactly num_epochs - cur_epoch more epochs — the total
-        across crash+resume equals num_epochs."""
+        across crash+resume equals num_epochs.
+
+        Preemption-safe: on SIGTERM (what cluster schedulers and TPU
+        maintenance handlers send) the current epoch finishes, the
+        per-epoch checkpoint + full train state are written as usual, and
+        train() returns cleanly — rerunning the same command resumes. A
+        second SIGTERM aborts immediately (the per-epoch full-state save
+        still makes that a clean resume point). The reference has no
+        signal handling; kill -9 crash-resume is separately tested."""
         self.start_time = time.time()
         self._session_start_epoch = self.cur_epoch  # for the time estimate
-        for _ in range(max(0, self.config["num_epochs"] - self.cur_epoch)):
-            self.train_epoch()
-            if self.prior in PRIORS_WITH_PRIOR_MODEL:
-                self.ckpt.save(self.state, model="joint")
-            else:
-                self.ckpt.save(self.state, model="VAE")
-            self.save_full_state()
-            self.compute_execution_time(self.cur_epoch - 1,
-                                        self.config["num_epochs"])
+        self._stop_requested = False
+
+        def _request_stop(signum, frame):
+            if self._stop_requested:
+                raise KeyboardInterrupt("second preemption signal")
+            self._stop_requested = True
+            print("\nPreemption signal: finishing the current epoch, "
+                  "saving, then exiting cleanly (signal again to abort).")
+
+        old_handler = None
+        try:  # signal.signal only works in the main thread
+            old_handler = signal.signal(signal.SIGTERM, _request_stop)
+        except ValueError:
+            pass
+        try:
+            for _ in range(max(0,
+                               self.config["num_epochs"] - self.cur_epoch)):
+                self.train_epoch()
+                if self.prior in PRIORS_WITH_PRIOR_MODEL:
+                    self.ckpt.save(self.state, model="joint")
+                else:
+                    self.ckpt.save(self.state, model="VAE")
+                self.save_full_state()
+                self.compute_execution_time(self.cur_epoch - 1,
+                                            self.config["num_epochs"])
+                if self._stop_requested:
+                    print(f"Preemption save complete at epoch "
+                          f"{self.cur_epoch}/{self.config['num_epochs']}; "
+                          f"rerun the same command to resume.")
+                    break
+        finally:
+            if old_handler is not None:
+                signal.signal(signal.SIGTERM, old_handler)
 
     def train_epoch(self):
         cfg = self.config

@@ -117,6 +117,44 @@ def main():
             1000 * (time.perf_counter() - t0) / n, 2)
     results["bucket_latency_ms"] = bucket_latency_ms
 
+    # micro-batching under concurrency: many threads each sending 1-image
+    # reconstructs (the HTTP serving shape). The Batcher coalesces them
+    # into shared device batches; 'direct' dispatches one bucket-1 call
+    # per request.
+    import threading
+
+    from ladder_tpu.serving.batcher import Batcher
+
+    def concurrent_rate(target, n_threads=16, reqs_per_thread=8):
+        x1 = x[:1]
+        barrier = threading.Barrier(n_threads + 1)
+        def worker():
+            barrier.wait()
+            for _ in range(reqs_per_thread):
+                target.reconstruct(x1)
+        threads = [threading.Thread(target=worker)
+                   for _ in range(n_threads)]
+        for t in threads:
+            t.start()
+        barrier.wait()
+        t0 = time.perf_counter()
+        for t in threads:
+            t.join()
+        return n_threads * reqs_per_thread / (time.perf_counter() - t0)
+
+    engine.reconstruct(x[:1])  # ensure bucket-1 compiled before timing
+    direct_rps = concurrent_rate(engine)
+    batcher = Batcher(engine, max_wait_ms=2.0)
+    batcher.reconstruct(x[:1])
+    batched_rps = concurrent_rate(batcher)
+    results["concurrent_1img_req_s"] = {
+        "direct": round(direct_rps, 1),
+        "micro_batched": round(batched_rps, 1),
+        "batches": batcher.stats["batches"],
+        "requests": batcher.stats["requests"],
+    }
+    batcher.close()
+
     print(json.dumps({"metric": "serving throughput (CelebA-128)",
                       "batch": args.batch, "dtype": args.dtype,
                       "buckets": engine.buckets,

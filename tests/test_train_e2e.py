@@ -135,6 +135,55 @@ def test_sklearn_backend_artifact_parity(tmp_path, monkeypatch):
             assert set(a.files) == set(b.files), name
 
 
+def test_sigterm_preemption_saves_and_resumes(tmp_path, monkeypatch):
+    """SIGTERM during training: the current epoch finishes, the per-epoch
+    checkpoint + full state are saved, train() returns cleanly, and
+    rerunning resumes to exactly num_epochs total (graceful-preemption
+    path in trainer.train; the kill -9 crash path is tested below)."""
+    import signal as _signal
+
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    cfg = make_config(
+        num_epochs=4, sg_pretraining=1, accurate_fit=10,
+        synthetic_n_train=256, synthetic_n_test=128,
+        num_hidden_units=64, num_hidden_units_inner_VAE=16,
+        n_layers_inner_VAE=2, n_MC_samples=4, n_mixtures=4,
+        enable_plots=0, prior="standard_gaussian")
+    cfg["result_dir"] = str(tmp_path / "result") + "/"
+    cfg["checkpoint_dir"] = str(tmp_path / "checkpoint") + "/"
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+
+    t1 = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg)
+    orig_epoch = t1.train_epoch
+
+    def epoch_then_preempt():
+        orig_epoch()
+        if t1.cur_epoch == 2:  # scheduler preempts mid-run
+            os.kill(os.getpid(), _signal.SIGTERM)
+
+    t1.train_epoch = epoch_then_preempt
+    t1.train()  # returns cleanly instead of dying
+    assert t1.cur_epoch == 2
+    assert t1._stop_requested
+    assert os.path.isfile(os.path.join(cfg["checkpoint_dir"],
+                                       "train-state.msgpack"))
+    # the original handler is restored on exit
+    assert _signal.getsignal(_signal.SIGTERM) == _signal.SIG_DFL
+
+    t2 = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg)
+    t2.restore()
+    assert t2.cur_epoch == 2
+    t2.train()
+    assert t2.cur_epoch == 4
+    n_step_epoch = 256 // 64
+    assert len(t2.metrics.train_loss) == 4 * n_step_epoch
+
+
 def test_resume_trains_remaining_epochs(tmp_path, monkeypatch):
     """Crash at epoch 2 of 4, restore, train(): exactly 2 more epochs run
     (num_epochs total, not num_epochs more) and the npz metric curves from

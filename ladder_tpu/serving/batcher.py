@@ -61,7 +61,10 @@ class Batcher:
         with self._cond:
             if self._closed:
                 raise RuntimeError("batcher is closed")
-            self._queue.append((path, x.shape[1:], x, fut))
+            # dtype is part of the key: the engine normalises uint8 images
+            # inside the jitted path, so coalescing uint8 rows into a float
+            # batch would silently skip the /255 (and vice versa)
+            self._queue.append((path, (x.shape[1:], x.dtype), x, fut))
             self.stats["requests"] += 1
             self._cond.notify()
         return fut
@@ -110,7 +113,12 @@ class Batcher:
                 take, rest, rows = [], [], 0
                 for item in self._queue:
                     same = (item[0] == lead[0] and item[1] == lead[1])
-                    if same and rows + item[2].shape[0] <= self._max_rows:
+                    # the lead is always taken, even when it alone exceeds
+                    # max_rows — the engine chunks oversized batches; never
+                    # taking it would spin this loop forever
+                    if same and (not take
+                                 or rows + item[2].shape[0]
+                                 <= self._max_rows):
                         take.append(item)
                         rows += item[2].shape[0]
                     else:

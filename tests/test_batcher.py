@@ -101,6 +101,45 @@ def test_mismatched_shapes_do_not_poison_peers(batched):
     assert isinstance(res["bad"], Exception)
 
 
+def test_oversized_request_completes(batched):
+    """A single request larger than max_rows must still dispatch (the
+    engine chunks it) — the worker used to spin forever because the lead
+    never fit the row budget."""
+    cfg, engine, batcher = batched
+    x = np.random.default_rng(7).random(
+        (batcher._max_rows + 3, 28, 28, 1)).astype(np.float32)
+    fut = batcher.submit("reconstruct", x)
+    out = fut.result(timeout=60)
+    np.testing.assert_allclose(out, engine.reconstruct(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_uint8_and_float_requests_never_coalesce(batched):
+    """Same row shape, different dtype: the engine normalises uint8
+    inside the jitted path, so coalescing the two would skip the /255
+    for the uint8 rows. Each caller must get its own dtype's result."""
+    cfg, engine, batcher = batched
+    rng = np.random.default_rng(8)
+    xu = rng.integers(0, 256, (1, 28, 28, 1), dtype=np.uint8)
+    xf = (xu.astype(np.float32) / 255.0)
+    direct_u = engine.encode(xu)
+    direct_f = engine.encode(xf)
+    res = {}
+    barrier = threading.Barrier(2)
+
+    def run(key, x):
+        barrier.wait()
+        res[key] = batcher.encode(x)
+
+    t1 = threading.Thread(target=run, args=("u", xu))
+    t2 = threading.Thread(target=run, args=("f", xf))
+    t1.start(); t2.start(); t1.join(30); t2.join(30)
+    np.testing.assert_allclose(res["u"][0], direct_u[0],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(res["f"][0], direct_f[0],
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_rejects_empty_and_unknown(batched):
     cfg, engine, batcher = batched
     with pytest.raises(ValueError, match="empty batch"):

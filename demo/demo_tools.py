@@ -24,7 +24,15 @@ def get_embeddings_from_val_set(idx, config, trainer, x=None, save_plot=False):
     z otherwise) and plot the x / dec(z) / dec(dec(t)) triptych
     (demo_tools.py:41-75)."""
     if x is None:
-        x = trainer.data.val_set["image"]
+        if hasattr(trainer.data, "val_set"):
+            x = trainer.data.val_set["image"]
+        else:
+            # CelebA ships TFRecord splits rather than in-memory arrays:
+            # read a full batch_size window covering idx (the encoder's
+            # batch-stat BN wants a realistically sized batch)
+            n = max(int(config["batch_size"]), idx + 1)
+            n = min(n, trainer.data.val.n)
+            x = trainer.data.val.reader.read_batch(np.arange(n))
     params = trainer.state["params"]
     fwd = trainer.fwd
     x_j = jnp.asarray(x)

@@ -46,19 +46,28 @@ def main():
         plot_interpolation_losses,
         plot_optimised_path,
     )
-    from ladder_tpu.data.mnist import DataGenerator
     from ladder_tpu.interp import interpolate
     from ladder_tpu.models.builder import make_model
-    from ladder_tpu.training.trainer import MNISTTrainer
     from ladder_tpu.utils.config import create_dirs, process_config
 
     config = process_config(args.config)
     create_dirs([config["result_dir"]])
     config.setdefault("enable_plots", 0)
 
-    data = DataGenerator(config)
-    model = make_model(config)
-    trainer = MNISTTrainer(model, data, config)
+    # model/data/trainer dispatch on exp_name, mirroring train.py (and the
+    # reference notebook's hand wiring of cells 10-12)
+    if config["exp_name"] == "celeba":
+        from ladder_tpu.data.celeba import CelebAData
+        from ladder_tpu.training.celeba_trainer import CelebATrainer
+        data = CelebAData(config)
+        model = make_model(config)
+        trainer = CelebATrainer(model, data, config)
+    else:
+        from ladder_tpu.data.mnist import DataGenerator
+        from ladder_tpu.training.trainer import MNISTTrainer
+        data = DataGenerator(config)
+        model = make_model(config)
+        trainer = MNISTTrainer(model, data, config)
     trainer.restore()
 
     # accurate GM fit over t-space (notebook cell 14)

@@ -37,12 +37,15 @@ def _load_config(path, **overrides):
 
 @pytest.mark.parametrize("config_path,overrides,ref_dir,n_vae,n_prior", [
     ("demo/mnist_digit_config.json", {}, "mnist_digit", 23, 27),
-    # the shipped fashion checkpoint was trained at h=512, code 32
+    # the shipped fashion checkpoint was trained at h=512, code 32 — the
+    # shipped demo config encodes exactly that architecture
+    ("demo/mnist_fashion_config.json", {}, "mnist_fashion", 27, 27),
+    # the shipped celeba checkpoint used a 32-D representation space
+    ("demo/celeba_config.json", {}, "celeba", 73, 27),
+    # override path: the mapping is generated from the tree, not from
+    # per-family tables
     ("codes/mnist_fashion_config.json",
      {"num_hidden_units": 512, "code_size": 32}, "mnist_fashion", 27, 27),
-    # the shipped celeba checkpoint used a 32-D representation space
-    ("codes/celeba_config.json",
-     {"representation_size": 32}, "celeba", 73, 27),
 ])
 def test_mapping_covers_shipped_reference_checkpoints(
         config_path, overrides, ref_dir, n_vae, n_prior):

@@ -186,3 +186,52 @@ def test_bench_repeats_and_streamed_record(monkeypatch, capsys):
     assert d["step_ms_min"] <= d["step_ms"] <= d["step_ms_max"]
     assert "streamed" in d and d["streamed"]["steps"] == 3
     assert np.isfinite(d["loss_ae"])
+
+
+def test_eval_fid_script_encoder_mode(tmp_path, monkeypatch, capsys):
+    """scripts/eval_fid.py end-to-end in --network encoder mode: the
+    offline-capable FID CLI (reference's compute_FID_score as a script,
+    utils.py:141-200) loads the config, restores the encoder checkpoint
+    and prints one JSON line with a finite non-negative score."""
+    import importlib.util
+
+    import jax
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.utils.checkpoint import CheckpointManager
+    from tests.conftest import make_config
+
+    cfg = make_config(prior="standard_gaussian", num_hidden_units=64,
+                      code_size=8)
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
+    model = make_model(cfg)
+    CheckpointManager(cfg).save(
+        {"params": model.init(jax.random.PRNGKey(0))}, model="VAE")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(
+        {k: v for k, v in cfg.items()
+         if k not in ("checkpoint_dir", "result_dir", "summary_dir")}))
+
+    rng = np.random.default_rng(7)
+    imgs1 = rng.integers(0, 256, (24, 28, 28, 1)).astype(np.float32)
+    imgs2 = np.clip(imgs1 / 255.0 + 0.3 * rng.standard_normal(imgs1.shape),
+                    0, 1).astype(np.float32)
+    f1, f2 = str(tmp_path / "a.npz"), str(tmp_path / "b.npz")
+    np.savez(f1, sampled_images=imgs1)
+    np.savez(f2, sampled_images=imgs2)
+
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "eval_fid", "/root/repo/scripts/eval_fid.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    rc = mod.main([f1, f2, "--network", "encoder", "-c", str(cfg_path),
+                   "--checkpoint-dir", cfg["checkpoint_dir"],
+                   "--resize-to", "28"])
+    assert rc == 0
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith('{"fid"')][-1]
+    rec = json.loads(line)
+    assert np.isfinite(rec["fid"]) and rec["fid"] > 0
+    assert rec["network"] == "encoder"

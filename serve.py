@@ -171,7 +171,9 @@ def main(argv=None):
 
     if args.generate:
         imgs = engine.generate(args.generate, seed=args.seed)
-        np.savez(args.out, x=imgs)
+        # 'x' for --reconstruct round-trips; 'sampled_images' so the set
+        # feeds scripts/eval_fid.py / compute_FID_score without a --key flag
+        np.savez(args.out, x=imgs, sampled_images=imgs)
         print(f"wrote {imgs.shape} generated images -> {args.out}")
         return 0
 

@@ -13,10 +13,40 @@ Usage: python bench.py [--steps N] [--batch B] [--hidden H] [--full-pipeline]
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _arm_watchdog(seconds):
+    """Fail fast instead of hanging forever when the TPU tunnel is down.
+
+    Device init + first compile over the axon tunnel normally takes
+    20-100 s; when the tunnel is unreachable the first jax call blocks
+    indefinitely, which would turn the driver's bench run into a silent
+    hang. A daemon thread hard-exits (rc 2, one-line error on stderr)
+    if the armed phase outlives the deadline, so callers can retry.
+    Returns a disarm() callable. LADDER_BENCH_INIT_TIMEOUT overrides the
+    deadline (seconds; 0 disables)."""
+    import threading
+
+    seconds = float(os.environ.get("LADDER_BENCH_INIT_TIMEOUT", seconds))
+    done = threading.Event()
+    if seconds <= 0:
+        return done.set
+
+    def bark():
+        if not done.wait(seconds):
+            print(f"bench: device init/compile exceeded {seconds:.0f}s — "
+                  "TPU tunnel down or unreachable; retry "
+                  "(LADDER_BENCH_INIT_TIMEOUT overrides)", file=sys.stderr)
+            sys.stderr.flush()
+            os._exit(2)
+
+    threading.Thread(target=bark, daemon=True, name="bench-watchdog").start()
+    return done.set
 
 
 def main():
@@ -70,6 +100,8 @@ def main():
         print("fused-output disabled under --mesh (unpartitionable "
               "custom call)", file=sys.stderr)
         args.fused_output = 0
+
+    disarm = _arm_watchdog(600)
 
     import jax
     import jax.numpy as jnp
@@ -130,6 +162,9 @@ def main():
         0, 256, (args.batch, 128, 128, 3)).astype(np.uint8)
 
     if args.full_pipeline:
+        # device reachable (jax.devices() above returned); dataset synthesis
+        # and streaming are host-paced — don't let the watchdog kill them
+        disarm()
         import tempfile
 
         from ladder_tpu.data.celeba import CelebAData
@@ -176,6 +211,7 @@ def main():
             return state, jax.tree.map(lambda a: a[-1], outs), dt
 
         state, out, _ = measure(state)  # compile + warm
+        disarm()
     else:
         def measure(state):
             out = None
@@ -188,6 +224,7 @@ def main():
         for i in range(args.warmup):  # compile + warm
             state, out = step(state, batch, rng, gm, flags, lrs, True)
         jax.block_until_ready(state)
+        disarm()
 
     # repeated timed runs: the tunnel's RPC jitter makes any single run a
     # lottery draw; report the median with the min/max spread

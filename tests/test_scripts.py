@@ -235,3 +235,22 @@ def test_eval_fid_script_encoder_mode(tmp_path, monkeypatch, capsys):
     rec = json.loads(line)
     assert np.isfinite(rec["fid"]) and rec["fid"] > 0
     assert rec["network"] == "encoder"
+
+
+def test_bench_watchdog_fails_fast(tmp_path):
+    """With LADDER_BENCH_INIT_TIMEOUT set very low, bench.py exits rc 2
+    with a one-line stderr error instead of hanging — the fail-fast
+    behaviour the driver needs when the TPU tunnel is unreachable."""
+    import subprocess
+
+    env = dict(os.environ, LADDER_BENCH_INIT_TIMEOUT="0.2",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/bench.py", "--steps", "2",
+         "--repeats", "1", "--batch", "2", "--hidden", "16", "--code", "8",
+         "--steps-per-call", "1", "--streamed-steps", "0",
+         "--dtype", "float32"],
+        capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
+        env=env)
+    assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
+    assert "tunnel down or unreachable" in proc.stderr

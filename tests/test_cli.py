@@ -59,6 +59,21 @@ def test_train_cli_main(tmp_path, monkeypatch):
              if f.startswith("training_config_")]
     assert snaps
 
+    # the serving CLI picks the trained checkpoint up from the same config
+    # (standard_gaussian prior: generation needs no GM fit) and writes both
+    # npz keys ('x' for --reconstruct round-trips, 'sampled_images' for the
+    # FID tooling)
+    import numpy as np
+
+    serve = importlib.import_module("serve")
+    out_path = tmp_path / "gen.npz"
+    rc = serve.main(["--config", str(cfg_path), "--serve-batch", "4",
+                     "--generate", "4", "--out", str(out_path)])
+    assert rc == 0
+    z = np.load(out_path)
+    assert z["x"].shape == (4, 28, 28, 1)
+    np.testing.assert_array_equal(z["x"], z["sampled_images"])
+
 
 def test_train_cli_bad_args(capsys):
     sys.path.insert(0, "/root/repo")

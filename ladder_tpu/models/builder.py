@@ -62,8 +62,14 @@ class LadderModel:
             self.encoder = FashionEncoder(h, cfg["code_size"], lvp, dtype=dt)
             self.decoder = FashionDecoder(h, dtype=dt)
         elif exp == "celeba":
+            # bn_mode='frozen' (serving only): BN layers normalise with
+            # fixed population statistics supplied via set_bn_stats()
+            # instead of batch statistics — per-row-deterministic inference
+            # (training always uses batch stats: reference models.py:471)
             self.encoder = CelebAEncoder(h, cfg["code_size"], cfg["kernel_size"],
-                                         lvp, dtype=dt)
+                                         lvp, dtype=dt,
+                                         bn_frozen=cfg.get("bn_mode")
+                                         == "frozen")
             self.decoder = CelebADecoder(
                 h, dtype=dt,
                 use_pallas=bool(cfg.get("use_pallas", 0)),
@@ -131,7 +137,23 @@ class LadderModel:
         return params
 
     # ---- pure forward functions --------------------------------------
+    def set_bn_stats(self, stats):
+        """Attach estimated population BN statistics (bn_mode='frozen'):
+        {'BatchNormTrain_i': {'mean': [c], 'var': [c]}} per encoder BN layer
+        (ladder_tpu.serving.bn_freeze.estimate_bn_stats)."""
+        self.bn_stats = stats
+
     def encode(self, params, x):
+        if getattr(self.encoder, "bn_frozen", False):
+            stats = getattr(self, "bn_stats", None)
+            if stats is None:
+                raise ValueError(
+                    "bn_mode='frozen' needs population statistics: call "
+                    "set_bn_stats() with the output of "
+                    "ladder_tpu.serving.bn_freeze.estimate_bn_stats "
+                    "(or load bn_stats.npz)")
+            return self.encoder.apply(
+                {"params": params["encoder"], "bn_stats": stats}, x)
         return self.encoder.apply({"params": params["encoder"]}, x)
 
     def decode(self, params, z):

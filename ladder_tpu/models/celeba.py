@@ -44,6 +44,7 @@ class CelebAEncoder(nn.Module):
     latent_variance_precision: float = 1e-3
     bn_axis_name: str | None = None  # cross-replica BN if set
     dtype: Any = None
+    bn_frozen: bool = False  # serving-only: fixed population BN statistics
 
     @nn.compact
     def __call__(self, x):
@@ -54,10 +55,12 @@ class CelebAEncoder(nn.Module):
         widths = [h // 4, h // 4, h // 2, h // 2, h]
         for w in widths:                                   # 128->64->32->16->8->4
             x = Conv(w, k, strides=2, dtype=dt)(x)
-            x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
+            x = BatchNormTrain(axis_name=self.bn_axis_name,
+                               frozen=self.bn_frozen)(x)
             x = leaky_relu(x)
         x = Conv(h, k, padding="VALID", dtype=dt)(x)       # 4x4 -> 2x2 (k=3)
-        x = BatchNormTrain(axis_name=self.bn_axis_name)(x)
+        x = BatchNormTrain(axis_name=self.bn_axis_name,
+                           frozen=self.bn_frozen)(x)
         x = leaky_relu(x)
         x = x.reshape(x.shape[0], -1).astype(jnp.float32)
         mean = Dense(self.code_size, name="code_mean")(x)

@@ -101,10 +101,18 @@ class BatchNormTrain(nn.Module):
     which matches the reference's full-batch statistics exactly. axis_name
     is only needed in shard_map contexts, where reductions are per-shard
     unless psum'd explicitly.
+
+    frozen=True (serving only — training parity requires batch statistics)
+    normalises with fixed population statistics read from a 'bn_stats'
+    variable collection instead, making every output depend only on its own
+    row. Stats are estimated post-training from data
+    (ladder_tpu.serving.bn_freeze) — the reference checkpoints carry no
+    moving averages (its Savers save trainables only, base.py:37-48).
     """
 
     epsilon: float = 1e-3
     axis_name: str | None = None
+    frozen: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -114,7 +122,14 @@ class BatchNormTrain(nn.Module):
         beta = self.param("beta", nn.initializers.zeros, (c,))
         xf = x.astype(jnp.float32)  # statistics in fp32 for stability
         reduce_axes = tuple(range(x.ndim - 1))
-        if self.axis_name is not None:
+        if self.frozen:
+            mean = self.variable(
+                "bn_stats", "mean",
+                lambda: jnp.zeros((c,), jnp.float32)).value
+            var = self.variable(
+                "bn_stats", "var",
+                lambda: jnp.ones((c,), jnp.float32)).value
+        elif self.axis_name is not None:
             import jax
             mean = jax.lax.pmean(jnp.mean(xf, axis=reduce_axes), self.axis_name)
             mean2 = jax.lax.pmean(jnp.mean(xf * xf, axis=reduce_axes),

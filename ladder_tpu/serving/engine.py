@@ -84,18 +84,27 @@ class InferenceEngine:
         given request size sees. Dispatch is deterministic (same request
         -> same bucket -> same result); MNIST-family models are BN-free
         and bucket-invariant, which tests/test_serving.py pins.
+        bn_stats_path opts out entirely: with estimated population
+        statistics (scripts/freeze_bn.py -> serving/bn_freeze.py) the
+        encoder BN is frozen and every path becomes per-row-deterministic
+        and bucket-invariant for CelebA too.
     dtype : 'float32' (default) or 'bfloat16' for the conv stacks.
     mesh_devices : 0 = single device; N>0 = shard batch over N devices.
     """
 
     def __init__(self, config, checkpoint_dir=None, gm_info_path=None,
                  serve_batch=64, buckets=(1, 8), dtype=None, mesh_devices=0,
-                 allow_uninitialized=False):
+                 allow_uninitialized=False, bn_stats_path=None):
         cfg = dict(config)
         if dtype is not None:
             cfg["dtype"] = dtype
         if checkpoint_dir is not None:
             cfg["checkpoint_dir"] = checkpoint_dir
+        if bn_stats_path is not None:
+            # per-row-deterministic BN: normalise with the estimated
+            # population statistics instead of batch statistics (see
+            # serving/bn_freeze.py and the BatchNorm caveat below)
+            cfg["bn_mode"] = "frozen"
         self.config = cfg
         self.serve_batch = int(serve_batch)
         if mesh_devices:
@@ -116,6 +125,13 @@ class InferenceEngine:
             | {self.serve_batch})
         self.model = make_model(cfg)
         self.prior = cfg["prior"]
+        if bn_stats_path is not None:
+            from ladder_tpu.serving.bn_freeze import load_bn_stats
+            if cfg.get("exp_name") != "celeba":
+                raise ValueError(
+                    "bn_stats_path applies to CelebA models only "
+                    f"(exp_name={cfg.get('exp_name')!r} has no BatchNorm)")
+            self.model.set_bn_stats(load_bn_stats(bn_stats_path))
 
         params = self.model.init(jax.random.PRNGKey(0))
         state = {"params": params}

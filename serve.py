@@ -138,6 +138,10 @@ def main(argv=None):
     ap.add_argument("--allow-uninitialized", action="store_true",
                     help="serve random-init weights when checkpoints are "
                          "missing (smoke tests only)")
+    ap.add_argument("--bn-stats", default=None,
+                    help="bn_stats.npz from scripts/freeze_bn.py: freeze "
+                         "the CelebA encoder's BatchNorm to population "
+                         "statistics (per-row-deterministic serving)")
     ap.add_argument("--generate", type=int, default=0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--reconstruct", default=None)
@@ -161,7 +165,8 @@ def main(argv=None):
         cfg, checkpoint_dir=args.checkpoint_dir, gm_info_path=args.gm_info,
         serve_batch=args.serve_batch, dtype=args.dtype,
         mesh_devices=args.mesh,
-        allow_uninitialized=args.allow_uninitialized)
+        allow_uninitialized=args.allow_uninitialized,
+        bn_stats_path=args.bn_stats)
 
     if args.export:
         written = export_inference(engine, args.export)

@@ -163,3 +163,35 @@ def test_guard_rails(tmp_path):
     with pytest.raises(ValueError, match="CelebA"):
         InferenceEngine(mnist, bn_stats_path=path,
                         allow_uninitialized=True)
+
+
+def test_export_with_frozen_bn(tmp_path):
+    """jax.export bakes the frozen statistics into the artifact: the
+    exported encode path reproduces the frozen engine (and is therefore
+    per-row-deterministic) without any side files."""
+    import os
+
+    from ladder_tpu.serving import export_inference, load_exported
+    from ladder_tpu.serving.engine import InferenceEngine
+    from ladder_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = _celeba_cfg()
+    cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+    os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    CheckpointManager(cfg).save({"params": params}, model="VAE")
+
+    rng = np.random.default_rng(3)
+    x = rng.random((4, 128, 128, 3)).astype(np.float32)
+    stats = estimate_bn_stats(cfg, params, [x])
+    path = save_bn_stats(str(tmp_path / "bn_stats.npz"), stats)
+
+    eng = InferenceEngine(cfg, serve_batch=4, buckets=(),
+                          bn_stats_path=path)
+    written = export_inference(eng, str(tmp_path / "exp"),
+                               names=("encode",))
+    mean_direct = eng.encode(x)[0]
+    mean_exported = np.asarray(load_exported(written["encode"])(x)[0])
+    np.testing.assert_allclose(mean_exported, mean_direct, rtol=1e-5,
+                               atol=1e-5)

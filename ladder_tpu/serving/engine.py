@@ -169,9 +169,16 @@ class InferenceEngine:
     def _load_gm(self, gm_info_path):
         if self.prior not in PRIORS_WITH_GM:
             return None
-        path = gm_info_path or os.path.join(
-            self.config["result_dir"], "GM_prior_info.npz")
-        if not os.path.isfile(path):
+        # search order: explicit path -> the run's result_dir (where the
+        # trainer writes accurate fits, base.py:769-777) -> next to the
+        # checkpoint (how pretrained_models/ ships the fit, mirroring the
+        # reference's figures/<exp>/result/GM_prior_info.npz demo artifact)
+        candidates = [gm_info_path] if gm_info_path else [
+            os.path.join(self.config["result_dir"], "GM_prior_info.npz"),
+            os.path.join(self.config["checkpoint_dir"], "GM_prior_info.npz"),
+        ]
+        path = next((p for p in candidates if p and os.path.isfile(p)), None)
+        if path is None:
             return None
         info = np.load(path)
         w = jnp.asarray(info["w_full"], jnp.float32)

@@ -297,3 +297,19 @@ def test_export_uint8_contract_and_mesh_guard(served, tmp_path):
         sharded = InferenceEngine(cfg, serve_batch=8, mesh_devices=8)
         with pytest.raises(ValueError, match="single-device"):
             export_inference(sharded, str(tmp_path / "expm"))
+
+
+def test_gm_fallback_next_to_checkpoint(tmp_path):
+    """With no GM fit in result_dir, the engine falls back to
+    checkpoint_dir/GM_prior_info.npz — how pretrained_models/ ships the
+    accurate fit (mirroring the reference's figures/<exp>/result demo
+    artifact), so serve.py --generate works out of the box."""
+    cfg = tiny_config(tmp_path)
+    model, params = save_trained_like(cfg)
+    import shutil
+    shutil.move(os.path.join(cfg["result_dir"], "GM_prior_info.npz"),
+                os.path.join(cfg["checkpoint_dir"], "GM_prior_info.npz"))
+    from ladder_tpu.serving import InferenceEngine
+    engine = InferenceEngine(cfg, serve_batch=4)
+    imgs = engine.generate(3, seed=0)
+    assert imgs.shape == (3, 28, 28, 1) and np.isfinite(imgs).all()

@@ -37,13 +37,25 @@ def _arm_watchdog(seconds):
     if seconds <= 0:
         return done.set
 
+    retries = int(os.environ.get("LADDER_BENCH_RETRIES", "3"))
+
     def bark():
-        if not done.wait(seconds):
+        if done.wait(seconds):
+            return
+        if retries > 0:
+            # a fresh process re-runs backend init from scratch — rides out
+            # a transient tunnel outage without the caller having to retry
             print(f"bench: device init/compile exceeded {seconds:.0f}s — "
-                  "TPU tunnel down or unreachable; retry "
-                  "(LADDER_BENCH_INIT_TIMEOUT overrides)", file=sys.stderr)
+                  f"restarting ({retries} retries left)", file=sys.stderr)
             sys.stderr.flush()
-            os._exit(2)
+            env = dict(os.environ, LADDER_BENCH_RETRIES=str(retries - 1))
+            os.execve(sys.executable, [sys.executable] + sys.argv, env)
+        print(f"bench: device init/compile exceeded {seconds:.0f}s — "
+              "TPU tunnel down or unreachable; retry "
+              "(LADDER_BENCH_INIT_TIMEOUT / LADDER_BENCH_RETRIES override)",
+              file=sys.stderr)
+        sys.stderr.flush()
+        os._exit(2)
 
     threading.Thread(target=bark, daemon=True, name="bench-watchdog").start()
     return done.set

@@ -244,7 +244,7 @@ def test_bench_watchdog_fails_fast(tmp_path):
     import subprocess
 
     env = dict(os.environ, LADDER_BENCH_INIT_TIMEOUT="0.2",
-               JAX_PLATFORMS="cpu")
+               LADDER_BENCH_RETRIES="1", JAX_PLATFORMS="cpu")
     proc = subprocess.run(
         [sys.executable, "/root/repo/bench.py", "--steps", "2",
          "--repeats", "1", "--batch", "2", "--hidden", "16", "--code", "8",
@@ -253,4 +253,6 @@ def test_bench_watchdog_fails_fast(tmp_path):
         capture_output=True, text=True, timeout=300, cwd=str(tmp_path),
         env=env)
     assert proc.returncode == 2, (proc.returncode, proc.stderr[-500:])
+    # one in-process restart happened before giving up
+    assert "restarting (1 retries left)" in proc.stderr
     assert "tunnel down or unreachable" in proc.stderr

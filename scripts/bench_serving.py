@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--dtype", default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--mesh", type=int, default=0)
+    ap.add_argument("--bn-stats", default=None,
+                    help="bn_stats.npz (scripts/freeze_bn.py): bench "
+                         "the frozen-BN per-row-deterministic mode")
     args = ap.parse_args()
 
     from ladder_tpu.serving import InferenceEngine
@@ -72,7 +75,8 @@ def main():
     cfg = process_config(args.config)
     engine = InferenceEngine(cfg, serve_batch=args.batch, dtype=args.dtype,
                              mesh_devices=args.mesh,
-                             allow_uninitialized=True)
+                             allow_uninitialized=True,
+                             bn_stats_path=args.bn_stats)
     cfgd = engine.config
     rng = np.random.default_rng(0)
     x = rng.integers(0, 256, (args.batch, cfgd["dim_input_x"],

@@ -89,6 +89,11 @@ def main():
                          "(200 steps at K=10 wanders 3-6%% on bad-RPC days "
                          "because each repeat refills the dispatch pipeline "
                          "and fewer calls amortise the ~40-58 ms/call RPC)")
+    ap.add_argument("--pipeline-fill", type=int, default=4,
+                    help="K>1 only: untimed calls enqueued before the "
+                         "measurement window opens; absorbs the initial "
+                         "RPC latency and host enqueue time so the timed "
+                         "window measures pure steady-state device rate")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")
@@ -207,22 +212,42 @@ def main():
         # ahead of the device (measured: 3 enqueued calls -> 13.7 ms/step,
         # 20 calls -> 12.5 ms/step = the device's own program rate). Local
         # PCIe hardware reaches the device rate at any depth.
+        #
+        # Timing method: BOTH timestamps come from block_until_ready
+        # returns — the completion of the `fill`-th call opens the window,
+        # the completion of the last call closes it. Each block return
+        # trails the device event by the same constant RPC fetch latency,
+        # so the offsets cancel and dt is the device's own steady-state
+        # time for n_calls*K steps with the queue never draining. The
+        # `fill` prefix absorbs the initial RPC latency + host enqueue
+        # time; fill_wait_ms > 0 verifies the opening block actually
+        # waited (i.e. the pipeline was still ahead of the host when the
+        # window opened — a near-zero wait would mean t0 was stamped late
+        # and the fill must be deepened).
         from ladder_tpu.training.step import make_train_multi_step
         multi = make_train_multi_step(model)
         stack = jnp.broadcast_to(batch, (args.steps_per_call,) + batch.shape)
         n_calls = max(1, args.steps // args.steps_per_call)
         args.steps = n_calls * args.steps_per_call
+        fill = max(2, args.pipeline_fill)
 
         def measure(state):
             outs = None
-            t0 = time.perf_counter()
-            for _ in range(n_calls):
+            open_mark = close_mark = None
+            for i in range(fill + n_calls):
                 state, outs = multi(state, stack, rng, gm, flags, lrs, True)
-            jax.block_until_ready(state)
-            dt = time.perf_counter() - t0
-            return state, jax.tree.map(lambda a: a[-1], outs), dt
+                if i == fill - 1:
+                    open_mark = outs["ae"]["loss_ae"]
+            close_mark = outs["ae"]["loss_ae"]
+            t_enq = time.perf_counter()
+            jax.block_until_ready(open_mark)
+            t0 = time.perf_counter()
+            jax.block_until_ready(close_mark)
+            t1 = time.perf_counter()
+            return (state, jax.tree.map(lambda a: a[-1], outs),
+                    t1 - t0, t0 - t_enq)
 
-        state, out, _ = measure(state)  # compile + warm
+        state, out, _, _ = measure(state)  # compile + warm
         disarm()
     else:
         def measure(state):
@@ -231,7 +256,7 @@ def main():
             for _ in range(args.steps):
                 state, out = step(state, batch, rng, gm, flags, lrs, True)
             jax.block_until_ready(state)
-            return state, out, time.perf_counter() - t0
+            return state, out, time.perf_counter() - t0, 0.0
 
         for i in range(args.warmup):  # compile + warm
             state, out = step(state, batch, rng, gm, flags, lrs, True)
@@ -240,11 +265,12 @@ def main():
 
     # repeated timed runs: the tunnel's RPC jitter makes any single run a
     # lottery draw; report the median with the min/max spread
-    rates, step_mss = [], []
+    rates, step_mss, waits = [], [], []
     for _ in range(max(1, args.repeats)):
-        state, out, dt = measure(state)
+        state, out, dt, wait = measure(state)
         rates.append(args.steps * args.batch / dt / n_chips)
         step_mss.append(1000 * dt / args.steps)
+        waits.append(1000 * wait)
     per_chip = float(np.median(rates))
 
     detail = {
@@ -260,6 +286,18 @@ def main():
         "step_ms_max": round(float(np.max(step_mss)), 2),
         "loss_ae": float(out["ae"]["loss_ae"]),
     }
+    if args.steps_per_call > 1:
+        # fill_wait_ms must be comfortably > 0 in every repeat: it is the
+        # time the window-opening block actually waited for the device,
+        # proving the dispatch queue was ahead of the host when the timed
+        # window opened (see the measure() comment)
+        detail["pipeline_fill"] = max(2, args.pipeline_fill)
+        detail["fill_wait_ms"] = [round(w, 1) for w in waits]
+        if min(waits) < 5.0:
+            detail["warning"] = (
+                "fill_wait_ms < 5 ms in at least one repeat: the timed "
+                "window may have opened late; re-run with a larger "
+                "--pipeline-fill")
 
     if args.streamed_steps > 0 and mesh is None:
         # second record in the same output: the full-pipeline number

@@ -5,6 +5,12 @@ from ladder_tpu.parallel.mesh import (
     shard_batch,
     shard_state,
 )
+from ladder_tpu.parallel.tp import (
+    leaf_spec,
+    make_mesh_2d,
+    model_axis_size,
+    shard_params_tp,
+)
 
 __all__ = [
     "make_mesh",
@@ -12,4 +18,8 @@ __all__ = [
     "replicate",
     "shard_batch",
     "shard_state",
+    "leaf_spec",
+    "make_mesh_2d",
+    "model_axis_size",
+    "shard_params_tp",
 ]

@@ -29,11 +29,19 @@ def make_mesh(config=None, devices=None, axis_name=None):
     """1-D data-parallel mesh over all (or the given) devices. The axis
     name comes from config['data_axis'] when a config is given, so the knob
     threads through consistently (shard_batch defaults to the mesh's own
-    axis)."""
+    axis). A 2-element config['mesh_shape'] [n_data, n_model] builds the
+    2-D (data, model) tensor-parallel mesh instead (parallel/tp.py)."""
     devices = devices if devices is not None else jax.devices()
     if config is not None:
-        if config.get("mesh_shape"):
-            n = int(np.prod(config["mesh_shape"]))
+        shape = config.get("mesh_shape")
+        if shape and len(shape) == 2:
+            from ladder_tpu.parallel.tp import MODEL_AXIS, make_mesh_2d
+            return make_mesh_2d(
+                int(shape[0]), int(shape[1]), devices=devices,
+                axis_names=(axis_name or config.get("data_axis") or "data",
+                            MODEL_AXIS))
+        if shape:
+            n = int(np.prod(shape))
             devices = devices[:n]
         axis_name = axis_name or config.get("data_axis")
     return Mesh(np.asarray(devices), (axis_name or "data",))
@@ -46,8 +54,15 @@ def replicate(tree, mesh):
 
 
 def shard_state(state, mesh):
-    """Train state is replicated: params and Adam moments are identical on
-    every device; XLA keeps them in sync because the psum'd gradients are."""
+    """Place the train state on the mesh. On a 1-D data mesh everything is
+    replicated: params and Adam moments are identical on every device, and
+    XLA keeps them in sync because the psum'd gradients are. On a 2-D
+    (data, model) mesh, parameters and Adam moments shard over the model
+    axis (parallel/tp.py — tensor-parallel compute + ZeRO-style sharded
+    optimiser state); GSPMD inserts the implied collectives."""
+    from ladder_tpu.parallel.tp import model_axis_size, shard_params_tp
+    if model_axis_size(mesh) > 1:
+        return shard_params_tp(state, mesh)
     return replicate(state, mesh)
 
 

@@ -143,6 +143,49 @@ def test_tp_production_config_matches_single(mesh2d):
                                    rtol=5e-2, atol=5e-3)
 
 
+def test_tp_multi_step_stack_matches_single(mesh2d):
+    """The production dispatch layout under TP: K-step lax.scan over a
+    [K, B, ...] stack sharded P(None, data) with params/moments sharded
+    over the model axis — matches the single-device K-scan (the TP
+    counterpart of test_parallel.py's K-stack case)."""
+    from jax.sharding import NamedSharding
+
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import make_train_multi_step
+
+    cfg = make_config(prior="ours", batch_size=16, n_MC_samples=4,
+                      n_mixtures=3, num_hidden_units=64,
+                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2,
+                      fused_train_step=2)
+    model = make_model(cfg)
+    state_a = init_state(model, jax.random.PRNGKey(0))
+    state_b = init_state(model, jax.random.PRNGKey(0))
+    multi = make_train_multi_step(model)
+    K = 2
+    stack_host = np.random.default_rng(8).uniform(
+        0, 1, (K, 16, 28, 28, 1)).astype(np.float32)
+    gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+    lrs = {k: jnp.asarray(3e-4) for k in
+           ["ae", "sigma", "prior", "inner_sigma"]}
+    flags = {"use_sg_prior": jnp.asarray(False),
+             "use_mask": jnp.asarray(False)}
+    rng = jax.random.PRNGKey(11)
+
+    new_a, outs_a = multi(state_a, jnp.asarray(stack_host), rng, gm, flags,
+                          lrs, True)
+    stack = jax.device_put(
+        stack_host, NamedSharding(mesh2d, P(None, "data")))
+    new_b, outs_b = multi(shard_state(state_b, mesh2d), stack, rng,
+                          replicate(gm, mesh2d), flags, lrs, True)
+    np.testing.assert_allclose(np.asarray(outs_a["ae"]["loss_ae"]),
+                               np.asarray(outs_b["ae"]["loss_ae"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_a["params"]),
+                    jax.tree.leaves(new_b["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5)
+
+
 def test_trainer_with_2d_mesh_e2e(tmp_path, monkeypatch):
     """Full trainer epoch with config['mesh_shape']=[4, 2]: make_mesh builds
     the 2-D mesh, shard_state applies the TP layout, and the epoch runs to

@@ -40,6 +40,12 @@ def make_mesh(config=None, devices=None, axis_name=None):
                 int(shape[0]), int(shape[1]), devices=devices,
                 axis_names=(axis_name or config.get("data_axis") or "data",
                             MODEL_AXIS))
+        if shape and len(shape) > 2:
+            raise ValueError(
+                f"mesh_shape {list(shape)} has {len(shape)} axes; supported "
+                "are [n_data] (data parallel) and [n_data, n_model] (tensor "
+                "parallel) — a 3-D mesh would silently flatten to 1-D data "
+                "parallelism, so fail loudly instead")
         if shape:
             n = int(np.prod(shape))
             devices = devices[:n]

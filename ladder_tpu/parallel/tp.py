@@ -59,10 +59,16 @@ def leaf_spec(shape, n_model, model_axis=MODEL_AXIS):
     over the model axis (output channels for conv HWIO kernels, output
     features for dense [in, out] kernels, the channel axis for biases),
     otherwise replicate. Shape-only, so parameters and their Adam moments
-    land on identical layouts."""
+    land on identical layouts.
+
+    For conv-like leaves (ndim >= 3) only the trailing two (input/output
+    channel) axes are candidates: a 3-wide spatial axis must never shard
+    (e.g. n_model=3 with channel dims indivisible by 3 would otherwise
+    pick it — a GSPMD-correct but pathological layout)."""
     if n_model <= 1 or not shape:
         return P()
-    for ax in range(len(shape) - 1, -1, -1):
+    lo = max(len(shape) - 2, 0) if len(shape) >= 3 else 0
+    for ax in range(len(shape) - 1, lo - 1, -1):
         if shape[ax] % n_model == 0 and shape[ax] >= n_model:
             spec = [None] * len(shape)
             spec[ax] = model_axis

@@ -738,6 +738,12 @@ class JointTrainer:
         full = self.ckpt.load_full(self.state)
         if full is not None:
             self.state, extra = full
+            if self.mesh is not None:
+                # load_full returns host arrays; re-apply the mesh placement
+                # so a resumed run keeps the TP/ZeRO layout (on a 1-D data
+                # mesh this is the replicated placement)
+                from ladder_tpu.parallel.mesh import shard_state
+                self.state = shard_state(self.state, self.mesh)
             self.cur_epoch = int(extra.get("cur_epoch", 0))
             if "rng" in extra:
                 self.rng = jnp.asarray(extra["rng"])
@@ -759,6 +765,9 @@ class JointTrainer:
         self.state = self.ckpt.load(self.state, model="VAE")
         if self.prior in PRIORS_WITH_PRIOR_MODEL:
             self.state = self.ckpt.load(self.state, model="prior")
+        if self.mesh is not None:
+            from ladder_tpu.parallel.mesh import shard_state
+            self.state = shard_state(self.state, self.mesh)
 
 
 class MNISTTrainer(JointTrainer):

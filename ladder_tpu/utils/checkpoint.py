@@ -27,7 +27,18 @@ PRIOR_KEYS = ("prior", "inner_sigma")
 
 
 def _to_host(tree):
-    return jax.tree.map(lambda x: np.asarray(x), tree)
+    """Materialise every leaf as a host numpy array. Leaves that are not
+    fully addressable (multi-process runs where params/moments shard across
+    processes — e.g. TP under jax.distributed) are gathered first:
+    np.asarray would raise on them."""
+    def conv(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(x,
+                                                                tiled=True))
+        return np.asarray(x)
+
+    return jax.tree.map(conv, tree)
 
 
 def save_msgpack(path, tree):

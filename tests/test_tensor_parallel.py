@@ -44,6 +44,25 @@ def test_leaf_spec_rules():
     assert leaf_spec((64, 128), 1) == P()
 
 
+def test_leaf_spec_never_shards_conv_spatial_axes():
+    """ADVICE r3: a conv kernel's 3-wide spatial axis must never shard even
+    when it is the only divisible axis (n_model=3, channels indivisible)."""
+    assert leaf_spec((3, 3, 16, 31), 3) == P()
+    assert leaf_spec((3, 3, 16, 32), 3) == P()
+    # input channels (second-to-last) remain a legitimate fallback
+    assert leaf_spec((3, 3, 15, 32), 3) == P(None, None, "model", None)
+    # 5-D (e.g. stacked kernels): same trailing-two-axes rule
+    assert leaf_spec((4, 3, 3, 8, 31), 4) == P(None, None, None, "model",
+                                               None)
+
+
+def test_make_mesh_rejects_3d_shape():
+    """ADVICE r3: a [2,2,2] mesh_shape must fail loudly, not silently
+    flatten to 1-D data parallelism."""
+    with pytest.raises(ValueError, match="mesh_shape"):
+        make_mesh({"mesh_shape": [2, 2, 2]})
+
+
 def test_mesh_axis_introspection(mesh2d):
     assert model_axis_size(mesh2d) == 2
     assert model_axis_size(make_mesh()) == 0
@@ -184,6 +203,89 @@ def test_tp_multi_step_stack_matches_single(mesh2d):
                     jax.tree.leaves(new_b["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=1e-5)
+
+
+def test_tp_memory_per_device_halves(mesh2d):
+    """The ZeRO-style memory claim as a measured invariant (VERDICT r3 item
+    4): on the 4x2 mesh the sum of addressable shard bytes PER DEVICE for
+    params + Adam m/v equals the leaf_spec prediction exactly, and is well
+    under the replicated total (the slack is the indivisible leaves that
+    replicate)."""
+    cfg = make_config(prior="ours", batch_size=16, n_MC_samples=4,
+                      n_mixtures=3, num_hidden_units=64,
+                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2)
+    model = make_model(cfg)
+    state = init_state(model, jax.random.PRNGKey(0))
+    memory_trees = [state["params"]] + \
+        [state["opt"][g][k] for g in state["opt"] for k in ("m", "v")]
+    replicated_bytes = sum(
+        np.asarray(leaf).nbytes
+        for t in memory_trees for leaf in jax.tree.leaves(t))
+    expected = 0
+    for t in memory_trees:
+        for leaf in jax.tree.leaves(t):
+            nb = np.asarray(leaf).nbytes
+            expected += nb // 2 if leaf_spec(np.shape(leaf), 2) != P() \
+                else nb
+    sharded = shard_state(state, mesh2d)
+    dev0 = mesh2d.devices.flat[0]
+    sharded_trees = [sharded["params"]] + \
+        [sharded["opt"][g][k] for g in sharded["opt"] for k in ("m", "v")]
+    per_device = 0
+    for t in sharded_trees:
+        for leaf in jax.tree.leaves(t):
+            shard = [s for s in leaf.addressable_shards
+                     if s.device == dev0][0]
+            per_device += int(np.prod(shard.data.shape)) * \
+                leaf.dtype.itemsize
+    assert per_device == expected
+    # the claim: close to half; indivisible-leaf slack stays small
+    assert per_device <= 0.55 * replicated_bytes, \
+        (per_device, replicated_bytes)
+
+
+def test_tp_full_state_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """TP-sharded full-state save -> restore -> resume (VERDICT r3 item 4 +
+    ADVICE r3 restore fix): the resumed trainer re-applies the TP layout
+    (model-sharded params/moments, not host/replicated) and trains another
+    epoch to finite losses."""
+    monkeypatch.chdir(tmp_path)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    def build(num_epochs):
+        cfg = make_config(prior="ours", num_epochs=num_epochs,
+                          sg_pretraining=0, accurate_fit=5, n_MC_samples=4,
+                          n_mixtures=3, num_hidden_units=64,
+                          num_hidden_units_inner_VAE=16,
+                          n_layers_inner_VAE=2, enable_plots=0,
+                          synthetic_n_train=128, synthetic_n_test=64,
+                          batch_size=32, mesh_shape=[4, 2])
+        cfg["result_dir"] = str(tmp_path / "result") + "/"
+        cfg["checkpoint_dir"] = str(tmp_path / "ckpt") + "/"
+        create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+        mesh = make_mesh(cfg)
+        model = make_model(cfg)
+        return MNISTTrainer(model, DataGenerator(cfg), cfg, mesh=mesh)
+
+    t1 = build(num_epochs=1)
+    t1.train()
+    k1 = t1.state["params"]["encoder"]["Conv_2"]["kernel"]
+    assert not k1.sharding.is_fully_replicated  # TP layout in effect
+
+    t2 = build(num_epochs=2)
+    t2.restore()
+    assert t2.cur_epoch == 1
+    k2 = t2.state["params"]["encoder"]["Conv_2"]["kernel"]
+    assert isinstance(k2, jax.Array)
+    assert k2.sharding == k1.sharding  # layout survived the round trip
+    np.testing.assert_array_equal(np.asarray(k2), np.asarray(k1))
+    m2 = t2.state["opt"]["ae"]["m"]["encoder"]["Conv_2"]["kernel"]
+    assert m2.sharding == k1.sharding  # Adam moments too
+    t2.train()  # one more epoch from the restored, re-sharded state
+    assert t2.cur_epoch == 2
+    assert np.all(np.isfinite(t2.metrics.train_loss))
 
 
 def test_trainer_with_2d_mesh_e2e(tmp_path, monkeypatch):

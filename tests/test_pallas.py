@@ -9,6 +9,9 @@ import jax.numpy as jnp
 
 import ladder_tpu.ops.pallas_kernels as pk
 
+# may not skip: conftest fails the session if any pallas_parity test skips
+pytestmark = pytest.mark.pallas_parity
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

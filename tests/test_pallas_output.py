@@ -13,6 +13,9 @@ import jax.numpy as jnp
 import ladder_tpu.ops.pallas_output as po
 from tests.conftest import make_config
 
+# may not skip: conftest fails the session if any pallas_parity test skips
+pytestmark = pytest.mark.pallas_parity
+
 
 @pytest.fixture(autouse=True)
 def interpret_mode(monkeypatch):

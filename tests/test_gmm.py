@@ -239,3 +239,66 @@ def test_sklearn_backend_n_init_parity(monkeypatch, tmp_path):
         import os.path
         assert os.path.isfile(os.path.join(cfg["result_dir"],
                                            "GM_prior_info.npz"))
+
+
+def test_warm_start_tracks_sklearn_under_drift():
+    """VERDICT r3 item 7: the trainer's warm start re-derives
+    responsibilities from the previous fit (trainer._resp_from_prev) where
+    sklearn's warm_start resumes posterior parameters (base.py:93-99). Run 5
+    sequential epoch-style fits on a DRIFTING sample distribution (the
+    encoder's t-space moves every epoch) and bound the divergence between
+    the two warm-start semantics over time — per-epoch predictive densities
+    stay close and the gap does not grow across epochs."""
+    from sklearn.mixture import BayesianGaussianMixture
+
+    from ladder_tpu.ops.distributions import gmm_logpdf_from_cov
+    from ladder_tpu.ops.gmm import _log_gaussian_prob, _precision_chol
+
+    k = 6
+    rng_np = np.random.default_rng(42)
+    sk = BayesianGaussianMixture(
+        n_components=k, covariance_type="full", max_iter=1000,
+        weight_concentration_prior_type="dirichlet_distribution",
+        weight_concentration_prior=0.1, warm_start=True, random_state=0)
+    prev_fit = None
+    gaps = []
+    for epoch in range(5):
+        d = 0.35 * epoch  # cluster centers drift each epoch
+        centers = np.array([[-3.0 + d, 0.0], [3.0 - d, 2.0 + 0.5 * d]])
+        x = np.concatenate([
+            c + 0.45 * rng_np.standard_normal((300, 2)) for c in centers]
+        ).astype(np.float32)
+
+        sk.fit(x)  # sklearn warm_start: resumes posterior parameters
+
+        init_resp = None
+        if prev_fit is not None:  # the trainer's approximation
+            w, m, K = prev_fit.weights, prev_fit.means, prev_fit.covariances
+            pc = _precision_chol(K + 1e-6 * jnp.eye(K.shape[-1]))
+            logp = _log_gaussian_prob(jnp.asarray(x), m, pc) + \
+                jnp.log(jnp.maximum(w, 1e-38))[None, :]
+            init_resp = jax.nn.softmax(logp, axis=1)
+        fit, _ = fit_bgmm(jax.random.PRNGKey(epoch), jnp.asarray(x), k,
+                          max_iter=1000, weight_concentration_prior=0.1,
+                          init_resp=init_resp)
+        prev_fit = fit
+
+        # predictive-density agreement on this epoch's samples
+        ours = np.asarray(gmm_logpdf_from_cov(
+            jnp.asarray(x), fit.weights, fit.means, fit.covariances))
+        theirs = sk.score_samples(x)
+        gap = float(np.mean(np.abs(ours - theirs)))
+        gaps.append(gap)
+
+        # active structure agrees (same clusters survive the drift)
+        ours_active = int((np.asarray(fit.weights) >= 1e-2).sum())
+        sk_active = int((sk.weights_ >= 1e-2).sum())
+        assert abs(ours_active - sk_active) <= 1, (epoch, ours_active,
+                                                   sk_active)
+        assert _match_means(fit.means, sk.means_[sk.weights_ >= 1e-2],
+                            weights=fit.weights) < 0.5, epoch
+
+    # densities agree every epoch, and the divergence does NOT accumulate:
+    # the tail epochs are no worse than the cold-start first epoch + slack
+    assert max(gaps) < 0.15, gaps
+    assert max(gaps[2:]) <= gaps[0] + 0.05, gaps

@@ -126,6 +126,52 @@ def make_handler(engine):
     return Handler
 
 
+def make_http_server(front, port):
+    """A ThreadingHTTPServer whose close is a graceful drain: stop
+    accepting, JOIN in-flight handler threads (daemon_threads off — the
+    stock ThreadingHTTPServer abandons them), then flush the micro-batching
+    queue so every accepted request gets its response before exit."""
+    from http.server import ThreadingHTTPServer
+
+    class GracefulHTTPServer(ThreadingHTTPServer):
+        daemon_threads = False   # server_close() joins in-flight handlers
+        block_on_close = True
+
+    return GracefulHTTPServer(("127.0.0.1", port), make_handler(front))
+
+
+def serve_http(engine, front, server, quiet=False):
+    """Serve until SIGTERM/SIGINT (or server.shutdown()), then drain:
+    in-flight handlers finish, queued micro-batches execute, and only then
+    does the process exit — a kill during deploy never drops accepted
+    requests."""
+    import signal
+    import threading
+
+    def _shutdown(signum, frame):
+        # shutdown() blocks until serve_forever exits, so it must not run
+        # on the thread that IS serve_forever
+        threading.Thread(target=server.shutdown, daemon=True).start()
+
+    old = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            old[sig] = signal.signal(sig, _shutdown)
+        except ValueError:  # not the main thread: tests call shutdown()
+            pass
+    try:
+        server.serve_forever()
+    finally:
+        server.server_close()                     # joins handler threads
+        if front is not engine and hasattr(front, "close"):
+            front.close()                         # drains queued batches
+        for sig, h in old.items():
+            signal.signal(sig, h)
+        if not quiet:
+            print("drained: in-flight requests completed; server closed")
+    return 0
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--config", required=True)
@@ -191,16 +237,16 @@ def main(argv=None):
         return 0
 
     if args.http:
-        from http.server import ThreadingHTTPServer
         secs = engine.warmup()
         front = engine
         if not args.no_batching:
             from ladder_tpu.serving.batcher import Batcher
             front = Batcher(engine, max_wait_ms=args.batch_wait_ms)
+        server = make_http_server(front, args.http)
         print(f"warmup {secs:.1f}s; serving on :{args.http} "
-              f"(micro-batching {'off' if args.no_batching else 'on'})")
-        ThreadingHTTPServer(("127.0.0.1", args.http),
-                            make_handler(front)).serve_forever()
+              f"(micro-batching {'off' if args.no_batching else 'on'})",
+              flush=True)
+        return serve_http(engine, front, server)
 
     print("nothing to do: pass --generate/--reconstruct/--export/--http")
     return 1

@@ -313,3 +313,68 @@ def test_gm_fallback_next_to_checkpoint(tmp_path):
     engine = InferenceEngine(cfg, serve_batch=4)
     imgs = engine.generate(3, seed=0)
     assert imgs.shape == (3, 28, 28, 1) and np.isfinite(imgs).all()
+
+
+def test_serve_cli_sigterm_drains_gracefully(tmp_path):
+    """serve.py --http under SIGTERM (what deploy systems send): the server
+    stops accepting, in-flight requests complete, the micro-batch queue
+    drains, and the process exits 0 with the drain message — never a dead
+    socket for accepted work."""
+    import http.client
+    import signal
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    from tests.conftest import make_config
+
+    cfg = make_config(prior="standard_gaussian")
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.Popen(
+        [sys.executable, "/root/repo/serve.py", "--config", str(cfg_path),
+         "--http", str(port), "--allow-uninitialized", "--serve-batch", "8"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=str(tmp_path))
+    try:
+        # wait for the ready line (engine warmup compiles the buckets)
+        ready = False
+        deadline = time.time() + 420
+        lines = []
+        while time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line and proc.poll() is not None:
+                break
+            lines.append(line)
+            if "serving on" in line:
+                ready = True
+                break
+        assert ready, "server never became ready:\n" + "".join(lines)
+
+        buf = io.BytesIO()
+        x = np.random.default_rng(0).random((1, 28, 28, 1)).astype(np.float32)
+        np.save(buf, x)
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=120)
+        conn.request("POST", "/reconstruct", body=buf.getvalue())
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = np.load(io.BytesIO(resp.read()))
+        assert out.shape == (1, 28, 28, 1)
+        conn.close()
+
+        proc.send_signal(signal.SIGTERM)
+        rest, _ = proc.communicate(timeout=120)
+        lines.append(rest)
+        assert proc.returncode == 0, (proc.returncode, "".join(lines)[-800:])
+        assert "drained" in "".join(lines)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+            proc.communicate(timeout=30)

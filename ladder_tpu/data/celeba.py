@@ -128,11 +128,13 @@ class CelebARecords:
         self.n = len(self.reader)
 
     def epoch(self, batch_size, seed, drop_remainder=True, prefetch=True,
-              to_device=False, sharding=None):
+              to_device=False, sharding=None, place=None):
         """to_device=True moves the host->HBM transfer into the prefetch
         thread (double-buffered), overlapping it with the device step —
         essential when transfer latency rivals step time. Pass a sharding to
-        place batches sharded across a mesh."""
+        place batches sharded across a mesh, or a `place` callable for
+        custom placement (e.g. multi-process global-batch assembly, which a
+        plain device_put-with-sharding cannot express)."""
         perm = np.random.default_rng(seed).permutation(self.n)
         n_batches = (self.n // batch_size if drop_remainder
                      else -(-self.n // batch_size))
@@ -144,6 +146,8 @@ class CelebARecords:
 
             def fetch(ix):
                 batch = self.reader.read_batch(ix)
+                if place is not None:
+                    return place(batch)
                 if sharding is not None:
                     return jax.device_put(batch, sharding)
                 return jax.device_put(batch)

@@ -90,6 +90,39 @@ def global_batch_from_local(local_batch, mesh, axis_name=None):
     return jax.make_array_from_process_local_data(sharding, local_batch)
 
 
+def place_global_batch(batch, mesh, axis_name=None):
+    """Place one logical GLOBAL batch on the mesh from any process count.
+
+    Single-process: shard_batch. Multi-process (jax.distributed): every
+    process constructs the same logical batch (the data pipelines are
+    seed-deterministic), slices out its own contiguous row range, and the
+    slices assemble into the distributed global array — each process only
+    ever materialises 1/process_count of the batch on its devices."""
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return shard_batch(batch, mesh, axis_name)
+    batch = np.asarray(batch)
+    per = batch.shape[0] // n_proc
+    i = jax.process_index()
+    return global_batch_from_local(batch[i * per:(i + 1) * per], mesh,
+                                   axis_name)
+
+
+def place_global_stack(stack, mesh, axis_name=None):
+    """place_global_batch for a [K, B, ...] multi-step stack: the batch
+    axis (axis 1) shards over the mesh's data axis, the step axis is
+    replicated (training/step.py make_train_multi_step's layout)."""
+    sharding = NamedSharding(mesh, P(None, axis_name or mesh.axis_names[0]))
+    n_proc = jax.process_count()
+    if n_proc == 1:
+        return jax.device_put(stack, sharding)
+    stack = np.asarray(stack)
+    per = stack.shape[1] // n_proc
+    i = jax.process_index()
+    return jax.make_array_from_process_local_data(
+        sharding, np.ascontiguousarray(stack[:, i * per:(i + 1) * per]))
+
+
 def pad_to_multiple(batch, multiple):
     """Pad the leading axis up to a device-count multiple by tiling the
     batch, and return (padded, real_count) so callers can unweight. Handles

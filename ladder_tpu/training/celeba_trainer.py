@@ -26,15 +26,16 @@ class CelebATrainer(JointTrainer):
 
     def train_batches(self):
         # transfer inside the prefetch thread: decode AND host->HBM copy of
-        # batch k+1 overlap the device step k
+        # batch k+1 overlap the device step k; _place handles mesh sharding
+        # and multi-process global-batch assembly
         return self.data.train.epoch(self.config["batch_size"],
                                      seed=self.cur_epoch, to_device=True,
-                                     sharding=self._batch_sharding())
+                                     place=self._place)
 
     def val_batches(self):
         return self.data.val.epoch(self.config["batch_size"],
                                    seed=self.cur_epoch, to_device=True,
-                                   sharding=self._batch_sharding())
+                                   place=self._place)
 
     def sample_batches(self, n_samples):
         bs = self.config["batch_size"]

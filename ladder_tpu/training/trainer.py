@@ -68,6 +68,11 @@ class JointTrainer:
                   "(single-device kernel); using the XLA output stage.")
             model.fused_output = False
 
+        # multi-process (jax.distributed) discipline: every process runs
+        # the same SPMD program and the same collective-safe save calls;
+        # only the lead process touches result/plot/summary files
+        self.is_lead = jax.process_index() == 0
+
         self.rng = jax.random.PRNGKey(config.get("seed", 0))
         self.rng, init_rng = jax.random.split(self.rng)
         self.state = init_state(model, init_rng)
@@ -130,35 +135,43 @@ class JointTrainer:
 
     def _place(self, batch):
         """Device placement: shard the batch axis over the mesh when data
-        parallel, else plain transfer. Batches already on device (the
-        prefetching pipeline transfers in its worker thread) pass through."""
+        parallel (multi-process: each process contributes its slice of the
+        logical global batch), else plain transfer. Batches already on
+        device (the prefetching pipeline transfers in its worker thread)
+        pass through."""
         if isinstance(batch, jax.Array):
             return batch
         if self.mesh is not None:
-            from ladder_tpu.parallel.mesh import shard_batch
-            return shard_batch(np.asarray(batch), self.mesh)
+            from ladder_tpu.parallel.mesh import place_global_batch
+            return place_global_batch(np.asarray(batch), self.mesh)
         return jnp.asarray(batch)
 
     def _place_stack(self, batches):
         """Stack K batches into [K, B, ...] for the multi-step scan; under a
         mesh the batch axis (axis 1) is sharded, the step axis replicated."""
         if isinstance(batches[0], jax.Array):
+            # already placed (prefetcher): stack is a global SPMD op, then
+            # reshard to the scan layout — no host round-trip
             x = jnp.stack(batches)
-        else:
-            x = np.stack([np.asarray(b) for b in batches])
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                s = NamedSharding(self.mesh,
+                                  P(None, self.mesh.axis_names[0]))
+                return jax.device_put(x, s)
+            return x
+        x = np.stack([np.asarray(b) for b in batches])
         if self.mesh is not None:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            s = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
-            return jax.device_put(x, s)
+            from ladder_tpu.parallel.mesh import place_global_stack
+            return place_global_stack(x, self.mesh)
         return jnp.asarray(x)
 
-    def _batch_sharding(self):
-        if self.mesh is None:
-            return None
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        # the mesh's own axis name — config['data_axis'] threads through
-        # make_mesh, so every sharding site stays consistent with it
-        return NamedSharding(self.mesh, P(self.mesh.axis_names[0]))
+    def _host(self, arr):
+        """Host copy that is safe for sharded global arrays in multi-process
+        runs (np.asarray raises on non-fully-addressable arrays). Collective
+        when it gathers — call it from every process before any is_lead
+        gate."""
+        from ladder_tpu.utils.checkpoint import _to_host
+        return _to_host(arr)
 
     def _gm_for_step(self):
         """Device GM pytree fed to the train step (compute_feeddict parity,
@@ -400,15 +413,17 @@ class JointTrainer:
 
         self.epoch_tail_plots()
 
-        # result npz (base.py:791-823)
-        self.metrics.save(cfg, self.num_para_list, self.n_train_iter(),
-                          self.n_val_iter())
+        # result npz (base.py:791-823); single-writer under multi-process
+        if self.is_lead:
+            self.metrics.save(cfg, self.num_para_list, self.n_train_iter(),
+                              self.n_val_iter())
 
         # per-epoch scalar summaries (the reference creates summary_dir but
         # never writes to it, SURVEY.md §5; we log one JSON line per epoch)
-        self._write_scalar_summary()
+        if self.is_lead:
+            self._write_scalar_summary()
 
-        if self.plots_enabled:
+        if self.plots_enabled and self.is_lead:
             if cfg["TRAIN_VAE"] == 1:
                 plotting.plot_train_and_val_loss_vae(
                     self.metrics, cfg["result_dir"], cfg["TRAIN_sigma"],
@@ -461,7 +476,7 @@ class JointTrainer:
 
     def _report_active(self, weights):
         from ladder_tpu.ops.gmm import ACTIVE_WEIGHT_THRESHOLD
-        w = np.asarray(weights)
+        w = self._host(weights)
         idx = np.where(w >= ACTIVE_WEIGHT_THRESHOLD)[0]
         if len(idx) == 0:
             print("There are 0 active mixtures.")
@@ -480,7 +495,11 @@ class JointTrainer:
         samples = self._collect_samples(n_target, space)
 
         if cfg.get("gmm_backend") == "sklearn":
-            samples_np = np.asarray(samples)
+            # host fit: gather the (possibly cross-process-sharded) samples;
+            # every process fits the identical gathered set with the same
+            # seed, so the result is deterministic-redundant — no broadcast
+            # needed (the device backend is SPMD-identical by construction)
+            samples_np = self._host(samples)
             if mode == "fast":
                 kind = ("dirichlet_distribution" if self.prior == "ours"
                         else "ml")
@@ -529,20 +548,21 @@ class JointTrainer:
                                  cfg["n_mixtures"], max_iter=2000)
                 self.gm_final = (fit.weights, fit.means, fit.covariances)
         which = self.gm_fast if mode == "fast" else self.gm_final
-        if mode == "accurate":
+        which_host = tuple(self._host(a) for a in which)  # collective
+        if mode == "accurate" and self.is_lead:
             # both backends persist the accurate fit unconditionally, in the
             # reference's order: npz save -> active report -> final print
-            # (base.py:769-789)
-            save_gm_prior_info(cfg["result_dir"], *self.gm_final)
-        self._report_active(which[0])
+            # (base.py:769-789); single-writer under multi-process
+            save_gm_prior_info(cfg["result_dir"], *which_host)
+        self._report_active(which_host[0])
         if mode == "accurate":
             print("Final fitted prior saved.")
         # per-epoch record of the fitted GM (the reference declares these
         # buffers, base.py:568-570; it never writes them — we populate them
         # so post-hoc analysis can track the prior's evolution)
-        self.metrics.gmm_weight.append(np.asarray(which[0]))
-        self.metrics.gmm_mean.append(np.asarray(which[1]))
-        self.metrics.gmm_cov.append(np.asarray(which[2]))
+        self.metrics.gmm_weight.append(which_host[0])
+        self.metrics.gmm_mean.append(which_host[1])
+        self.metrics.gmm_cov.append(which_host[2])
         return samples
 
     def _resp_from_prev(self, samples):
@@ -577,10 +597,13 @@ class JointTrainer:
                     self._plot_gm(samples, self.gm_final, "accurate-GM")
 
     def _plot_gm(self, samples, gm, mode):
+        samples = self._host(samples)  # collective: before the lead gate
+        if not self.is_lead:
+            return
         w, m, K = gm
         for style in ("circle", "density"):
             plotting.plot_prior_distribution(
-                np.asarray(samples), w, m, K, self.config["result_dir"],
+                samples, w, m, K, self.config["result_dir"],
                 self.cur_epoch, mode=mode, style=style)
 
     # ---- prior sampling / generation (base.py:1065-1168) -------------
@@ -625,14 +648,16 @@ class JointTrainer:
                 mode = "accurate-GM"
         codes = self.sample_codes_from_prior(n_sample ** 2, mode=mode,
                                              method=method)
-        images = self.fwd["decode"](self.state["params"], codes)
+        images = self._host(self.fwd["decode"](self.state["params"], codes))
+        if not self.is_lead:
+            return
         if (method or self.prior) in ("GMM", "ours") :
             filename = os.path.join(
                 rdir, f"generated_samples_prior_{self.cur_epoch}_{mode}.pdf")
         else:
             filename = os.path.join(
                 rdir, f"generated_samples_prior_{self.cur_epoch}.pdf")
-        plotting.plot_generated_samples(np.asarray(images), filename,
+        plotting.plot_generated_samples(images, filename,
                                         n_sample, prior=self.prior)
 
     # ---- test / diagnostics (base.py:944-986) ------------------------
@@ -647,7 +672,7 @@ class JointTrainer:
         # separate decoded fetch)
         z = self.fwd["encode_sample"](self.state["params"], x,
                                       self._next_rng())
-        self.output_test = np.asarray(
+        self.output_test = self._host(
             self.fwd["decode"](self.state["params"], z))
 
         if print_result:
@@ -724,13 +749,15 @@ class JointTrainer:
                      if len(getattr(self.metrics, name))},
         )
         if self.gm_fast is not None:
-            extra.update(gm_fast_w=np.asarray(self.gm_fast[0]),
-                         gm_fast_m=np.asarray(self.gm_fast[1]),
-                         gm_fast_K=np.asarray(self.gm_fast[2]))
+            extra.update(gm_fast_w=self._host(self.gm_fast[0]),
+                         gm_fast_m=self._host(self.gm_fast[1]),
+                         gm_fast_K=self._host(self.gm_fast[2]))
         if self.gm_final is not None:
-            extra.update(gm_final_w=np.asarray(self.gm_final[0]),
-                         gm_final_m=np.asarray(self.gm_final[1]),
-                         gm_final_K=np.asarray(self.gm_final[2]))
+            extra.update(gm_final_w=self._host(self.gm_final[0]),
+                         gm_final_m=self._host(self.gm_final[1]),
+                         gm_final_K=self._host(self.gm_final[2]))
+        # collective-safe single-writer: every process calls (the state
+        # gather is a collective), process 0 writes (utils/checkpoint.py)
         self.ckpt.save_full(self.state, extra)
 
     def restore(self):
@@ -776,7 +803,7 @@ class MNISTTrainer(JointTrainer):
     def __init__(self, model, data, config, mesh=None):
         super().__init__(model, data, config, mesh)
         self._test_batch = self.data.test_set["image"]
-        if self.plots_enabled:
+        if self.plots_enabled and self.is_lead:
             plotting.plot_ground_truth_test_set(
                 self._test_batch, config["result_dir"], config["batch_size"])
 
@@ -784,15 +811,16 @@ class MNISTTrainer(JointTrainer):
         """Background-thread device transfer of upcoming batches (double
         buffered) — overlaps the host->HBM copy with the device step."""
         from ladder_tpu.data.celeba import Prefetcher
-        sharding = self._batch_sharding()
         bs = self.config["batch_size"]
         n = images.shape[0] // bs
         gen = epoch_batches(images, bs, self.cur_epoch)
+        mesh = self.mesh
 
         def fetch(i, _gen=gen):
             batch = next(_gen)
-            if sharding is not None:
-                return jax.device_put(batch, sharding)
+            if mesh is not None:
+                from ladder_tpu.parallel.mesh import place_global_batch
+                return place_global_batch(batch, mesh)
             return jax.device_put(batch)
 
         return iter(Prefetcher(fetch, range(n)))
@@ -823,7 +851,7 @@ class MNISTTrainer(JointTrainer):
         return self.data.n_val // self.config["batch_size"]
 
     def epoch_tail_plots(self):
-        if self.plots_enabled and self.output_test is not None:
+        if self.plots_enabled and self.is_lead and self.output_test is not None:
             plotting.plot_reconstructed_data(
                 self.output_test, self.config["result_dir"], self.cur_epoch,
                 title_attribs=None, narrow_space=True)

@@ -42,7 +42,14 @@ def _to_host(tree):
 
 
 def save_msgpack(path, tree):
-    data = serialization.msgpack_serialize(_to_host(tree))
+    """Single-writer, collective-safe save: EVERY process must call this
+    (the _to_host gather of non-addressable leaves is a collective), but
+    only process 0 touches the filesystem — concurrent writers on a shared
+    checkpoint dir would race on the tmp file."""
+    host_tree = _to_host(tree)
+    if jax.process_index() != 0:
+        return
+    data = serialization.msgpack_serialize(host_tree)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -131,9 +138,14 @@ class CheckpointManager:
     def _orbax_save(self, payload):
         import orbax.checkpoint as ocp
 
+        # same single-writer discipline as save_msgpack: the payload is
+        # gathered to host on every process (collective), written by one
+        host_payload = _to_host(payload)
+        if jax.process_index() != 0:
+            return
         path = self._orbax_dir()
         with ocp.PyTreeCheckpointer() as ckptr:
-            ckptr.save(path, _to_host(payload), force=True)
+            ckptr.save(path, host_payload, force=True)
 
     def _orbax_load(self):
         import orbax.checkpoint as ocp

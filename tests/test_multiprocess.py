@@ -4,6 +4,7 @@ real 2-process jax.distributed CPU cluster, each process contributing its
 local slice of the global batch (SURVEY.md §5 distributed-backend design;
 VERDICT r1 item 4)."""
 
+import json
 import os
 import subprocess
 import sys
@@ -58,6 +59,143 @@ def _free_port():
     port = s.getsockname()[1]
     s.close()
     return port
+
+
+TRAINER_WORKER = r"""
+import os, sys, json
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+coord, pid, workdir = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+jax.distributed.initialize(coordinator_address=coord, num_processes=2,
+                           process_id=pid)
+assert jax.process_count() == 2 and len(jax.devices()) == 8
+sys.path.insert(0, os.environ["LADDER_REPO"])
+os.chdir(workdir)
+
+from tests.conftest import make_config
+from ladder_tpu.data.mnist import DataGenerator
+from ladder_tpu.models.builder import make_model
+from ladder_tpu.parallel.mesh import make_mesh
+from ladder_tpu.training.trainer import MNISTTrainer
+from ladder_tpu.utils.config import create_dirs
+
+cfg = json.loads(open(os.path.join(workdir, "cfg.json")).read())
+create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+trainer = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg,
+                       mesh=make_mesh())
+assert trainer.is_lead == (pid == 0)
+trainer.train()
+m = trainer.metrics
+np.savez(os.path.join(workdir, f"curves_{pid}.npz"),
+         train_loss=np.asarray(m.train_loss, np.float64),
+         sigma=np.asarray(m.sigma_train, np.float64),
+         val=np.asarray(m.val_loss_ave_epoch, np.float64))
+print(f"proc{pid}: trainer ok")
+"""
+
+
+def _trainer_config(make_config, workdir):
+    cfg = make_config(prior="ours", num_epochs=2, sg_pretraining=1,
+                      use_mask_start=2, accurate_fit=2, n_MC_samples=4,
+                      n_mixtures=3, num_hidden_units=64,
+                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2,
+                      enable_plots=0, synthetic_n_train=128,
+                      synthetic_n_test=64, batch_size=32, seed=7)
+    cfg["result_dir"] = os.path.join(workdir, "result") + "/"
+    cfg["checkpoint_dir"] = os.path.join(workdir, "ckpt") + "/"
+    cfg["summary_dir"] = os.path.join(workdir, "summary") + "/"
+    return cfg
+
+
+def test_two_process_trainer_e2e(tmp_path):
+    """VERDICT r3 item 2: the FULL JointTrainer under jax.distributed — two
+    processes sharing one experiment directory train 2 epochs (sg phase +
+    GM-fit phase). Every file artifact is written exactly once (process-0
+    gating: no scalars.jsonl duplication, no checkpoint/tmp races), both
+    processes agree on the curves, and the curves equal a single-process
+    run of the identical global program."""
+    from tests.conftest import make_config
+
+    workdir = tmp_path / "shared"
+    workdir.mkdir()
+    cfg = _trainer_config(make_config, str(workdir))
+    (workdir / "cfg.json").write_text(json.dumps(cfg))
+    script = tmp_path / "trainer_worker.py"
+    script.write_text(TRAINER_WORKER)
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["LADDER_REPO"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    procs = [subprocess.Popen(
+        [sys.executable, str(script), coord, str(i), str(workdir)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1200)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} failed:\n{out[-4000:]}"
+        assert f"proc{i}: trainer ok" in out, out[-2000:]
+
+    # single-writer discipline: one line per epoch, not one per process
+    scalars = (workdir / "summary" / "scalars.jsonl").read_text().splitlines()
+    assert len(scalars) == 2, scalars
+    # the accurate fit (epoch 2 == num_epochs) persisted once, cleanly
+    gm_info = np.load(workdir / "result" / "GM_prior_info.npz")
+    assert np.isfinite(gm_info["w_full"]).all()
+    # no leftover tmp files from checkpoint write races
+    assert not list((workdir / "ckpt").glob("*.tmp"))
+    for name in ("vae-model.msgpack", "prior-model.msgpack",
+                 "train-state.msgpack"):
+        assert (workdir / "ckpt" / name).is_file(), name
+
+    # both processes recorded identical curves (replicated metrics)
+    c0 = np.load(workdir / "curves_0.npz")
+    c1 = np.load(workdir / "curves_1.npz")
+    np.testing.assert_allclose(c0["train_loss"], c1["train_loss"], rtol=1e-6)
+    np.testing.assert_allclose(c0["sigma"], c1["sigma"], rtol=1e-6)
+
+    # ...and they equal the single-process run of the same global program
+    # (this pytest process has the 8-virtual-device CPU mesh)
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.parallel.mesh import make_mesh
+    from ladder_tpu.training.trainer import MNISTTrainer
+    from ladder_tpu.utils.config import create_dirs
+
+    sdir = tmp_path / "single"
+    sdir.mkdir()
+    scfg = _trainer_config(make_config, str(sdir))
+    create_dirs([scfg["result_dir"], scfg["checkpoint_dir"]])
+    cwd = os.getcwd()
+    try:
+        os.chdir(sdir)
+        trainer = MNISTTrainer(make_model(scfg), DataGenerator(scfg), scfg,
+                               mesh=make_mesh())
+        trainer.train()
+    finally:
+        os.chdir(cwd)
+    m = trainer.metrics
+    assert c0["train_loss"].shape == (2 * 128 // 32,)
+    np.testing.assert_allclose(c0["train_loss"],
+                               np.asarray(m.train_loss, np.float64),
+                               rtol=2e-3)
+    np.testing.assert_allclose(c0["sigma"],
+                               np.asarray(m.sigma_train, np.float64),
+                               rtol=2e-3)
+    np.testing.assert_allclose(c0["val"],
+                               np.asarray(m.val_loss_ave_epoch, np.float64),
+                               rtol=2e-3)
 
 
 def test_two_process_global_batch(tmp_path):

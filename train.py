@@ -32,10 +32,23 @@ def main(argv=None):
         print("missing or invalid arguments: {}".format(e))
         sys.exit(0)
 
-    create_dirs([config["result_dir"], config["checkpoint_dir"]])
-    save_config(config)
+    # multi-host launch: LADDER_DISTRIBUTED=1 on every process (coordinator
+    # discovery via jax.distributed's cluster auto-detection — TPU pod
+    # metadata, Slurm, or the JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    # JAX_PROCESS_ID env triplet). Must run before any device use; the
+    # trainer gates all file writes on process 0 (training/trainer.py).
+    if os.environ.get("LADDER_DISTRIBUTED"):
+        import jax
+        jax.distributed.initialize()
+        print("jax.distributed: process {}/{} with {} local of {} global "
+              "devices".format(jax.process_index(), jax.process_count(),
+                               len(jax.local_devices()), len(jax.devices())))
 
     import jax
+
+    create_dirs([config["result_dir"], config["checkpoint_dir"]])
+    if jax.process_index() == 0:
+        save_config(config)
 
     from ladder_tpu.utils.config import enable_compilation_cache
     enable_compilation_cache()

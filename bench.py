@@ -94,6 +94,10 @@ def main():
                          "measurement window opens; absorbs the initial "
                          "RPC latency and host enqueue time so the timed "
                          "window measures pure steady-state device rate")
+    ap.add_argument("--unroll", type=int, default=1,
+                    help="lax.scan unroll factor for the K-step dispatch "
+                         "(config['scan_unroll']); N>1 lets XLA overlap "
+                         "consecutive steps' schedules")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")
@@ -152,6 +156,7 @@ def main():
         "TRAIN_inner_sigma": 1,
         "sg_pretraining": 0,
         "dtype": args.dtype,
+        "scan_unroll": args.unroll,
         "fused_train_step": args.fused,
         "use_pallas": args.use_pallas,
         "fused_output_stage": args.fused_output,

@@ -292,8 +292,14 @@ def make_train_multi_step(model, jit=True):
     fold_in(rng, state.step), which increments inside the scan.
 
     Returned metrics pytrees carry a leading K axis.
+
+    config['scan_unroll'] (default 1) unrolls the scan body N-fold: XLA then
+    schedules N consecutive steps as one block and can overlap the tail of
+    step k with the head of step k+1 (the per-step intra-schedule gaps
+    docs/DESIGN.md §6e measured). Semantics identical at any unroll.
     """
     inner = make_train_step(model, jit=False)
+    unroll = int(model.config.get("scan_unroll", 1))
 
     def multi_step(state, batches, rng, gm, flags, lrs, do_prior,
                    sg_overlap=False):
@@ -302,7 +308,7 @@ def make_train_multi_step(model, jit=True):
                                    do_prior, sg_overlap=sg_overlap)
             return new_state, out
 
-        return jax.lax.scan(body, state, batches)
+        return jax.lax.scan(body, state, batches, unroll=unroll)
 
     if jit:
         return jax.jit(multi_step,

@@ -1,0 +1,167 @@
+"""Standing quality-baseline record (VERDICT r3 item 5).
+
+Runs the full 30-epoch MNIST-digit reference recipe
+(codes/mnist_digit_config.json hyperparameters: batch 256, K=50 mixtures,
+sg_pretraining 5, accurate-fit cadence 10) at HEAD on the deterministic
+synthetic MNIST set, then captures a regression-grade quality snapshot:
+
+- final train/val negative-ELBO and reconstruction error
+  (the reference's {exp}-result.npz curve semantics, base.py:791-823)
+- the sigma trajectory endpoints (anneal start -> final)
+- active-mixture count of the final accurate DP-GMM fit
+  (weights >= ACTIVE_WEIGHT_THRESHOLD, base.py:768-777 report)
+- encoder-space FID between 2048 generated samples and 2048 held-out
+  test images (utils.py:141-200 FID math with the trained encoder as
+  the offline feature extractor)
+
+Writes one JSON file (default QUALITY_r04.json) so future rounds regress
+against a quality number, not only throughput.
+
+Run on TPU:  python scripts/quality_baseline.py --out QUALITY_r04.json
+Smoke test:  python scripts/quality_baseline.py --epochs 2 --n-train 2048
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="quality baseline run")
+    ap.add_argument("--config", default="codes/mnist_digit_config.json")
+    ap.add_argument("--out", default="QUALITY_r04.json")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override num_epochs (default: recipe value)")
+    ap.add_argument("--n-train", type=int, default=60000)
+    ap.add_argument("--n-test", type=int, default=10000)
+    ap.add_argument("--fid-samples", type=int, default=2048)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--workdir", default=None,
+                    help="keep artifacts here (default: temp dir)")
+    ap.add_argument("--fused", type=int, default=2, choices=[1, 2])
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from ladder_tpu.utils.config import (
+        create_dirs, enable_compilation_cache, honor_cpu_platform_request,
+        process_config)
+
+    honor_cpu_platform_request()
+
+    enable_compilation_cache()
+
+    workdir = args.workdir or tempfile.mkdtemp(prefix="quality_baseline_")
+    cfg = process_config(args.config)
+    cfg.update({
+        "synthetic_data": 1,
+        "synthetic_n_train": args.n_train,
+        "synthetic_n_test": args.n_test,
+        "load_model": 0,
+        "enable_plots": 0,          # quality numbers only; plots are
+        "num_iter_to_plot": 0,      # covered by the artifact-parity tests
+        "fused_train_step": args.fused,
+        "seed": args.seed,
+        "data_path": os.path.join(workdir, "data") + "/",
+        "result_dir": os.path.join(workdir, "result") + "/",
+        "checkpoint_dir": os.path.join(workdir, "ckpt") + "/",
+    })
+    if args.epochs is not None:
+        cfg["num_epochs"] = args.epochs
+    create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
+
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+
+    t0 = time.time()
+    data = DataGenerator(cfg)
+    model = make_model(cfg)
+    trainer = MNISTTrainer(model, data, cfg)
+    trainer.train()
+    train_wall = time.time() - t0
+
+    # --- curve endpoints from the result npz (reference key set) ---
+    res = np.load(os.path.join(
+        cfg["result_dir"], "{}-result.npz".format(cfg["exp_name"])))
+    sigma = np.asarray(res["sigma"], np.float64)
+    record = {
+        "config": args.config,
+        "recipe": {k: cfg[k] for k in (
+            "exp_name", "prior", "num_epochs", "batch_size", "n_mixtures",
+            "sg_pretraining", "accurate_fit", "n_MC_samples")},
+        "synthetic_n_train": args.n_train,
+        "seed": args.seed,
+        "train_wall_s": round(train_wall, 1),
+        "final_train_neg_elbo": float(res["train_loss"][-1]),
+        "final_val_neg_elbo": float(res["val_loss"][-1]),
+        "final_train_recons": float(res["recons_loss_train"][-1]),
+        "final_val_recons": float(res["recons_loss_val"][-1]),
+        # empty when num_epochs <= sg_pretraining (prior not yet training)
+        "final_train_loss_prior": (float(res["train_loss_prior"][-1])
+                                   if len(res["train_loss_prior"]) else None),
+        "final_val_loss_prior": (float(res["val_loss_prior"][-1])
+                                 if len(res["val_loss_prior"]) else None),
+        "sigma_start": float(sigma[0]),
+        "sigma_final": float(sigma[-1]),
+        "n_epochs_recorded": int(len(res["val_loss"])),
+    }
+
+    # --- active mixtures of the final accurate fit ---
+    from ladder_tpu.ops.gmm import ACTIVE_WEIGHT_THRESHOLD
+    gm_path = os.path.join(cfg["result_dir"], "GM_prior_info.npz")
+    if os.path.exists(gm_path):
+        w = np.asarray(np.load(gm_path)["w_full"]).ravel()
+        record["active_mixtures"] = int((w >= ACTIVE_WEIGHT_THRESHOLD).sum())
+        record["n_mixtures"] = int(w.size)
+    else:  # num_epochs <= sg_pretraining: prior never trained, no fit
+        record["active_mixtures"] = None
+        record["n_mixtures"] = None
+
+    # --- encoder-space FID: generated vs held-out test images ---
+    from ladder_tpu.serving import InferenceEngine
+    from ladder_tpu.utils.fid import compute_FID_score, encoder_feature_fn
+
+    n = args.fid_samples
+    if record["active_mixtures"] is None:
+        # smoke run without a GM fit: 'ours' generation needs the
+        # hyper-prior; record the curve/sigma snapshot only
+        record["encoder_fid_generated_vs_test"] = None
+        record["workdir"] = workdir
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(json.dumps(record))
+        return 0
+    engine = InferenceEngine(cfg, checkpoint_dir=cfg["checkpoint_dir"])
+    gen = engine.generate(n, seed=args.seed)
+    f_gen = os.path.join(workdir, "generated.npz")
+    np.savez(f_gen, sampled_images=np.asarray(gen))
+    # original-set preprocessing divides by 255 (reference data files are
+    # uint8-scale); our loader yields [0,1], so store x255
+    xt = np.asarray(data.val_set["image"][:n], np.float32) * 255.0
+    f_real = os.path.join(workdir, "real.npz")
+    np.savez(f_real, sampled_images=xt)
+    feature_fn = encoder_feature_fn(cfg, checkpoint_dir=cfg["checkpoint_dir"])
+    fid = compute_FID_score(f_real, f_gen, feature_fn=feature_fn,
+                            resize_to=cfg["dim_input_x"])
+    same = compute_FID_score(f_real, f_real, feature_fn=feature_fn,
+                             second_set="original",
+                             resize_to=cfg["dim_input_x"])
+    record["encoder_fid_generated_vs_test"] = float(fid)
+    record["encoder_fid_self_floor"] = float(same)
+    record["fid_samples"] = n
+    record["workdir"] = workdir
+
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1)
+    print(json.dumps(record))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

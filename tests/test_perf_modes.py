@@ -271,3 +271,46 @@ def test_trainer_steps_per_call_matches_single(tmp_path, monkeypatch):
     assert len(losses[1]) == len(losses[4]) == 6
     # scanned-vs-unrolled XLA reassociation only
     np.testing.assert_allclose(losses[1], losses[4], rtol=1e-4)
+
+
+def test_multi_step_unroll_matches_unroll1():
+    """config['scan_unroll'] > 1 is a pure schedule hint: the K-step scan
+    with unroll=2 evolves state identically to unroll=1 (same fold_in rng
+    streams, same update math; tolerances absorb XLA fusion
+    reassociation between the rolled and unrolled loop bodies)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import init_state, make_train_multi_step
+    from tests.conftest import make_config
+
+    gm = None
+    results = {}
+    for unroll in (1, 2):
+        cfg = make_config(prior="ours", batch_size=8, n_MC_samples=4,
+                          n_mixtures=3, num_hidden_units=64,
+                          num_hidden_units_inner_VAE=16,
+                          n_layers_inner_VAE=2)
+        cfg["scan_unroll"] = unroll
+        model = make_model(cfg)
+        state = init_state(model, jax.random.PRNGKey(0))
+        multi = make_train_multi_step(model)
+        if gm is None:
+            gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+        lrs = {k: jnp.asarray(3e-4) for k in
+               ["ae", "sigma", "prior", "inner_sigma"]}
+        flags = {"use_sg_prior": jnp.asarray(False),
+                 "use_mask": jnp.asarray(False)}
+        batches = jnp.asarray(np.random.default_rng(0).uniform(
+            0, 1, (4, 8, 28, 28, 1)).astype(np.float32))
+        state, outs = multi(state, batches, jax.random.PRNGKey(5), gm,
+                            flags, lrs, True)
+        results[unroll] = (state, np.asarray(outs["ae"]["loss_ae"]))
+
+    np.testing.assert_allclose(results[1][1], results[2][1], rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(results[1][0]["params"]),
+                    jax.tree.leaves(results[2][0]["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-5)

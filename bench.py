@@ -98,6 +98,10 @@ def main():
                     help="lax.scan unroll factor for the K-step dispatch "
                          "(config['scan_unroll']); N>1 lets XLA overlap "
                          "consecutive steps' schedules")
+    ap.add_argument("--donate", action="store_true",
+                    help="donate the [K,B,...] batch stack to the dispatch "
+                         "(config['donate_batch_stack']); the master stack "
+                         "is copied per call so the loop stays valid")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2],
                     help="1: reference-sequential fused step, "
                          "2: single-pass (one fwd+bwd for all groups)")
@@ -157,6 +161,7 @@ def main():
         "sg_pretraining": 0,
         "dtype": args.dtype,
         "scan_unroll": args.unroll,
+        "donate_batch_stack": int(args.donate),
         "fused_train_step": args.fused,
         "use_pallas": args.use_pallas,
         "fused_output_stage": args.fused_output,
@@ -240,7 +245,11 @@ def main():
             outs = None
             open_mark = close_mark = None
             for i in range(fill + n_calls):
-                state, outs = multi(state, stack, rng, gm, flags, lrs, True)
+                # donation invalidates the passed stack; feed a device-side
+                # copy each call so the master survives (the copy is ~8 us
+                # per step amortised at K=20, inside the timed pipeline)
+                s = (stack + 0) if args.donate else stack
+                state, outs = multi(state, s, rng, gm, flags, lrs, True)
                 if i == fill - 1:
                     open_mark = outs["ae"]["loss_ae"]
             close_mark = outs["ae"]["loss_ae"]

@@ -297,9 +297,16 @@ def make_train_multi_step(model, jit=True):
     schedules N consecutive steps as one block and can overlap the tail of
     step k with the head of step k+1 (the per-step intra-schedule gaps
     docs/DESIGN.md §6e measured). Semantics identical at any unroll.
+
+    config['donate_batch_stack'] (default off) additionally donates the
+    [K, B, ...] input stack so XLA may reuse its HBM for temporaries. The
+    trainer builds a fresh stack per dispatch so donation is safe there;
+    callers that reuse a stack across calls (bench.py's default loop) must
+    leave it off or copy the master stack per call.
     """
     inner = make_train_step(model, jit=False)
     unroll = int(model.config.get("scan_unroll", 1))
+    donate = (0, 1) if model.config.get("donate_batch_stack") else (0,)
 
     def multi_step(state, batches, rng, gm, flags, lrs, do_prior,
                    sg_overlap=False):
@@ -313,7 +320,7 @@ def make_train_multi_step(model, jit=True):
     if jit:
         return jax.jit(multi_step,
                        static_argnames=("do_prior", "sg_overlap"),
-                       donate_argnums=(0,))
+                       donate_argnums=donate)
     return multi_step
 
 

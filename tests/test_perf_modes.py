@@ -314,3 +314,43 @@ def test_multi_step_unroll_matches_unroll1():
                     jax.tree.leaves(results[2][0]["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-5)
+
+
+def test_multi_step_donate_batch_stack():
+    """config['donate_batch_stack'] donates the [K,B,...] input; results are
+    identical and the trainer-style fresh-stack-per-call pattern works (on
+    CPU donation is advisory — XLA may ignore it — so this pins semantics,
+    not buffer reuse)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.losses import identity_gm
+    from ladder_tpu.training.step import init_state, make_train_multi_step
+    from tests.conftest import make_config
+
+    losses = {}
+    for donate in (0, 1):
+        cfg = make_config(prior="ours", batch_size=8, n_MC_samples=4,
+                          n_mixtures=3, num_hidden_units=64,
+                          num_hidden_units_inner_VAE=16,
+                          n_layers_inner_VAE=2)
+        cfg["donate_batch_stack"] = donate
+        model = make_model(cfg)
+        state = init_state(model, jax.random.PRNGKey(0))
+        multi = make_train_multi_step(model)
+        gm = identity_gm(cfg["n_mixtures"], cfg["representation_size"])
+        lrs = {k: jnp.asarray(3e-4) for k in
+               ["ae", "sigma", "prior", "inner_sigma"]}
+        flags = {"use_sg_prior": jnp.asarray(False),
+                 "use_mask": jnp.asarray(False)}
+        host = np.random.default_rng(0).uniform(
+            0, 1, (3, 8, 28, 28, 1)).astype(np.float32)
+        traj = []
+        for _ in range(2):  # fresh stack per call, as the trainer does
+            stack = jnp.asarray(host)
+            state, outs = multi(state, stack, jax.random.PRNGKey(5), gm,
+                                flags, lrs, True)
+            traj.append(np.asarray(outs["ae"]["loss_ae"]))
+        losses[donate] = np.concatenate(traj)
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)

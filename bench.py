@@ -94,10 +94,11 @@ def main():
                          "measurement window opens; absorbs the initial "
                          "RPC latency and host enqueue time so the timed "
                          "window measures pure steady-state device rate")
-    ap.add_argument("--unroll", type=int, default=1,
+    ap.add_argument("--unroll", type=int, default=2,
                     help="lax.scan unroll factor for the K-step dispatch "
                          "(config['scan_unroll']); N>1 lets XLA overlap "
-                         "consecutive steps' schedules")
+                         "consecutive steps' schedules (2 measured "
+                         "12.44 -> 12.24 ms/step = the op-sum floor)")
     ap.add_argument("--donate", action="store_true",
                     help="donate the [K,B,...] batch stack to the dispatch "
                          "(config['donate_batch_stack']); the master stack "
@@ -312,6 +313,24 @@ def main():
                 "fill_wait_ms < 5 ms in at least one repeat: the timed "
                 "window may have opened late; re-run with a larger "
                 "--pipeline-fill")
+        # Cross-check the window against the whole-repeat wall clock:
+        # (wait + dt) spans enqueue-done -> last completion, i.e. at most
+        # the device time for ALL fill+n_calls steps, so the implied
+        # whole-run step time is a lower bound on the true per-step time.
+        # The window step time can only exceed it (RPC jitter), never
+        # undercut it by much — a window markedly FASTER than the whole
+        # run means the opening mark's readiness was observed late and
+        # the window covered fewer steps than assumed (seen once with
+        # --donate: 6.53 ms window vs 12.24 ms whole-run; DESIGN 6f).
+        total_steps = (fill + n_calls) * args.steps_per_call
+        implied = [(w + s * args.steps) / total_steps
+                   for w, s in zip(waits, step_mss)]
+        detail["wall_step_ms"] = round(float(np.median(implied)), 2)
+        if float(np.median(step_mss)) < 0.9 * float(np.median(implied)):
+            detail["warning_window"] = (
+                "window step time undercuts the whole-run wall-clock "
+                "bound by >10%: the timed window opened late and the "
+                "reported rate is NOT trustworthy; use wall_step_ms")
 
     if args.streamed_steps > 0 and mesh is None:
         # second record in the same output: the full-pipeline number

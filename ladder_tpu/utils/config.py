@@ -88,6 +88,11 @@ _DEFAULTS = {
     "dtype": "float32",          # compute dtype for conv/dense stacks
     "fused_train_step": 1,       # 1: one jitted step for all optimiser groups
     "steps_per_call": 1,         # K>1: scan K train steps per dispatch
+    "scan_unroll": 1,            # unroll factor for the K-step scan body;
+                                 # 2 overlaps consecutive steps' schedules
+                                 # (measured 12.44 -> 12.24 ms/step on v5e,
+                                 # the op-sum floor) at 2x compile time
+    "donate_batch_stack": 0,     # donate the [K,B,...] input stack to XLA
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
     "fuse_upsample_conv": 1,     # CelebA decoder: fold 2x resizes into convs
                                  # (identical math; see ops/image.py)

@@ -132,6 +132,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.devices()  # blocks here if the tunnel is down
+    # device init succeeded — re-arm with a compile-sized deadline: a
+    # cold-cache compile of the unroll=2 multi-step program takes ~10 min
+    # over the tunnel (server-side compiler), well past the tunnel-down
+    # deadline. LADDER_BENCH_INIT_TIMEOUT still overrides both phases.
+    disarm()
+    disarm = _arm_watchdog(2400)
+
     from ladder_tpu.models.builder import make_model
     from ladder_tpu.training.losses import identity_gm
     from ladder_tpu.training.step import init_state, make_train_step
@@ -322,11 +330,16 @@ def main():
         # run means the opening mark's readiness was observed late and
         # the window covered fewer steps than assumed (seen once with
         # --donate: 6.53 ms window vs 12.24 ms whole-run; DESIGN 6f).
+        # wall_step_ms also carries the pipeline-fill startup latency
+        # (~0.1-0.2 s RPC+enqueue), which only amortises over long runs:
+        # at the 600-step default it inflates the bound by <1%, at
+        # --steps 40 by ~14%. The 0.8 threshold clears that noise while
+        # still catching the donate-class artifact (ratio 0.53).
         total_steps = (fill + n_calls) * args.steps_per_call
         implied = [(w + s * args.steps) / total_steps
                    for w, s in zip(waits, step_mss)]
         detail["wall_step_ms"] = round(float(np.median(implied)), 2)
-        if float(np.median(step_mss)) < 0.9 * float(np.median(implied)):
+        if float(np.median(step_mss)) < 0.8 * float(np.median(implied)):
             detail["warning_window"] = (
                 "window step time undercuts the whole-run wall-clock "
                 "bound by >10%: the timed window opened late and the "

@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--workdir", default=None,
                     help="keep artifacts here (default: temp dir)")
     ap.add_argument("--fused", type=int, default=2, choices=[1, 2])
+    ap.add_argument("--override", default=None,
+                    help="JSON dict of config overrides applied last "
+                         "(e.g. '{\"num_hidden_units\": 64}' for smoke "
+                         "runs or abbreviated CelebA records)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -73,16 +77,30 @@ def main(argv=None):
     })
     if args.epochs is not None:
         cfg["num_epochs"] = args.epochs
+    if args.override:
+        overrides = json.loads(args.override)
+        cfg.update(overrides)
     create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
 
-    from ladder_tpu.data.mnist import DataGenerator
     from ladder_tpu.models.builder import make_model
-    from ladder_tpu.training.trainer import MNISTTrainer
 
+    # same family dispatch as train.py: exp_name picks the data pipeline
+    # and trainer, so one script records a quality baseline for any of the
+    # three families (mnist_digit / mnist_fashion / celeba)
     t0 = time.time()
-    data = DataGenerator(cfg)
+    if cfg["exp_name"] == "celeba":
+        from ladder_tpu.data.celeba import CelebAData
+        from ladder_tpu.training.celeba_trainer import CelebATrainer
+        cfg.setdefault("synthetic_n_val", max(256, args.fid_samples))
+        data = CelebAData(cfg)
+        trainer_cls = CelebATrainer
+    else:
+        from ladder_tpu.data.mnist import DataGenerator
+        from ladder_tpu.training.trainer import MNISTTrainer
+        data = DataGenerator(cfg)
+        trainer_cls = MNISTTrainer
     model = make_model(cfg)
-    trainer = MNISTTrainer(model, data, cfg)
+    trainer = trainer_cls(model, data, cfg)
     trainer.train()
     train_wall = time.time() - t0
 
@@ -96,20 +114,28 @@ def main(argv=None):
             "exp_name", "prior", "num_epochs", "batch_size", "n_mixtures",
             "sg_pretraining", "accurate_fit", "n_MC_samples")},
         "synthetic_n_train": args.n_train,
+        "overrides": json.loads(args.override) if args.override else None,
         "seed": args.seed,
         "train_wall_s": round(train_wall, 1),
         "final_train_neg_elbo": float(res["train_loss"][-1]),
         "final_val_neg_elbo": float(res["val_loss"][-1]),
         "final_train_recons": float(res["recons_loss_train"][-1]),
         "final_val_recons": float(res["recons_loss_val"][-1]),
-        # empty when num_epochs <= sg_pretraining (prior not yet training)
+        # empty for prior='ours'/'hierarchical' (the reference records
+        # code_elbo_train for those families instead, base.py:625-634)
+        # and when num_epochs <= sg_pretraining (prior not yet training)
         "final_train_loss_prior": (float(res["train_loss_prior"][-1])
                                    if len(res["train_loss_prior"]) else None),
+        "final_train_code_elbo": (float(res["code_elbo_train"][-1])
+                                  if len(res.get("code_elbo_train", []))
+                                  else None),
         "final_val_loss_prior": (float(res["val_loss_prior"][-1])
                                  if len(res["val_loss_prior"]) else None),
         "sigma_start": float(sigma[0]),
         "sigma_final": float(sigma[-1]),
-        "n_epochs_recorded": int(len(res["val_loss"])),
+        # curve points, not epochs: the trainer drains metrics on its
+        # eval cadence, so this is epochs x evals-per-epoch
+        "n_curve_points": int(len(res["val_loss"])),
     }
 
     # --- active mixtures of the final accurate fit ---
@@ -142,8 +168,13 @@ def main(argv=None):
     f_gen = os.path.join(workdir, "generated.npz")
     np.savez(f_gen, sampled_images=np.asarray(gen))
     # original-set preprocessing divides by 255 (reference data files are
-    # uint8-scale); our loader yields [0,1], so store x255
-    xt = np.asarray(data.val_set["image"][:n], np.float32) * 255.0
+    # uint8-scale): the MNIST loader yields [0,1] so store x255; the CelebA
+    # pipeline yields uint8 [0,255] already
+    if cfg["exp_name"] == "celeba":
+        n = min(n, data.n_val)
+        xt = np.asarray(data.val.first_batch(n), np.float32)
+    else:
+        xt = np.asarray(data.val_set["image"][:n], np.float32) * 255.0
     f_real = os.path.join(workdir, "real.npz")
     np.savez(f_real, sampled_images=xt)
     feature_fn = encoder_feature_fn(cfg, checkpoint_dir=cfg["checkpoint_dir"])

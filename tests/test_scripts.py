@@ -256,3 +256,64 @@ def test_bench_watchdog_fails_fast(tmp_path):
     # one in-process restart happened before giving up
     assert "restarting (1 retries left)" in proc.stderr
     assert "tunnel down or unreachable" in proc.stderr
+
+
+def _run_quality_baseline(argv):
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "quality_baseline", "/root/repo/scripts/quality_baseline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.main(argv)
+
+
+def test_quality_baseline_mnist_smoke(tmp_path, monkeypatch):
+    """The standing quality-record script (VERDICT r3 item 5) end-to-end
+    on a tiny MNIST-digit recipe: curve endpoints, sigma trajectory,
+    active-mixture count, and the encoder-FID all land in the JSON."""
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "q.json"
+    rc = _run_quality_baseline([
+        "--config", "/root/repo/codes/mnist_digit_config.json",
+        "--out", str(out), "--workdir", str(tmp_path / "wd"),
+        "--epochs", "2", "--n-train", "256", "--n-test", "128",
+        "--fid-samples", "64",
+        "--override", json.dumps({
+            "sg_pretraining": 1, "accurate_fit": 1, "batch_size": 64,
+            "n_mixtures": 4, "n_MC_samples": 4, "num_hidden_units": 64,
+            "num_hidden_units_inner_VAE": 16, "n_layers_inner_VAE": 2})])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["n_curve_points"] >= 2
+    for key in ("final_train_neg_elbo", "final_val_neg_elbo",
+                "sigma_start", "sigma_final",
+                "encoder_fid_generated_vs_test"):
+        assert np.isfinite(rec[key]), (key, rec[key])
+    assert rec["active_mixtures"] >= 1
+    assert rec["overrides"]["n_mixtures"] == 4
+    # the FID self-floor (real vs real) must sit at ~0
+    assert abs(rec["encoder_fid_self_floor"]) < 1e-6
+
+
+def test_quality_baseline_celeba_smoke(tmp_path, monkeypatch):
+    """Family dispatch: the same script records a CelebA quality baseline
+    (CelebATrainer + TFRecord pipeline + uint8 original-set scaling)."""
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "q.json"
+    rc = _run_quality_baseline([
+        "--config", "/root/repo/codes/celeba_config.json",
+        "--out", str(out), "--workdir", str(tmp_path / "wd"),
+        "--epochs", "1", "--n-train", "32", "--n-test", "8",
+        "--fid-samples", "8",
+        "--override", json.dumps({
+            "sg_pretraining": 0, "accurate_fit": 1, "batch_size": 8,
+            "n_mixtures": 4, "n_MC_samples": 4, "num_hidden_units": 16,
+            "code_size": 16, "num_hidden_units_inner_VAE": 16,
+            "n_layers_inner_VAE": 2, "synthetic_n_val": 16})])
+    assert rc == 0
+    rec = json.loads(out.read_text())
+    assert rec["recipe"]["exp_name"] == "celeba"
+    assert rec["n_curve_points"] >= 1
+    assert np.isfinite(rec["final_val_neg_elbo"])
+    assert np.isfinite(rec["encoder_fid_generated_vs_test"])
+    assert abs(rec["encoder_fid_self_floor"]) < 1e-6

@@ -48,6 +48,14 @@ def main(argv=None):
                     help="JSON dict of config overrides applied last "
                          "(e.g. '{\"num_hidden_units\": 64}' for smoke "
                          "runs or abbreviated CelebA records)")
+    ap.add_argument("--check", default=None, metavar="BASELINE_JSON",
+                    help="after the run, regress the new record against a "
+                         "committed baseline record (e.g. QUALITY_r04.json) "
+                         "and exit 1 on divergence beyond tolerances")
+    ap.add_argument("--check-rtol", type=float, default=0.05,
+                    help="relative tolerance for the ELBO/recons endpoints "
+                         "(same seed + synthetic data are deterministic up "
+                         "to accelerator scheduling; 5%% is generous)")
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -191,6 +199,47 @@ def main(argv=None):
     with open(args.out, "w") as f:
         json.dump(record, f, indent=1)
     print(json.dumps(record))
+    if args.check:
+        return check_against(record, args.check, args.check_rtol)
+    return 0
+
+
+def check_against(record, baseline_path, rtol):
+    """Regress a fresh quality record against a committed baseline.
+
+    Scale-bearing endpoints (ELBO, reconstruction, sigma, FID) must agree
+    within rtol; structural counts (active mixtures) within a loose band —
+    the DP fit's component count wanders a little run to run even at a
+    fixed seed because XLA reduction order is not bitwise-stable across
+    compiler versions."""
+    with open(baseline_path) as f:
+        base = json.load(f)
+    failures = []
+
+    def close(key, tol):
+        a, b = record.get(key), base.get(key)
+        if a is None or b is None:
+            return  # family/abbreviation differences are legitimate
+        denom = max(abs(a), abs(b), 1e-6)
+        if abs(a - b) / denom > tol:
+            failures.append(f"{key}: {a} vs baseline {b} "
+                            f"(>{tol:.0%} divergence)")
+
+    for key in ("final_train_neg_elbo", "final_val_neg_elbo",
+                "final_train_recons", "final_val_recons", "sigma_final"):
+        close(key, rtol)
+    # FID is a squared distance near zero: compare on an absolute-ish
+    # scale (3x band) rather than rtol
+    close("encoder_fid_generated_vs_test", 2.0)
+    a, b = record.get("active_mixtures"), base.get("active_mixtures")
+    if a is not None and b is not None and abs(a - b) > max(5, 0.3 * b):
+        failures.append(f"active_mixtures: {a} vs baseline {b}")
+    if failures:
+        print("QUALITY REGRESSION vs {}:".format(baseline_path))
+        for msg in failures:
+            print("  " + msg)
+        return 1
+    print("quality check vs {}: ok".format(baseline_path))
     return 0
 
 

@@ -317,3 +317,29 @@ def test_quality_baseline_celeba_smoke(tmp_path, monkeypatch):
     assert np.isfinite(rec["final_val_neg_elbo"])
     assert np.isfinite(rec["encoder_fid_generated_vs_test"])
     assert abs(rec["encoder_fid_self_floor"]) < 1e-6
+
+
+def test_quality_baseline_check_mode(tmp_path):
+    """--check regression mode: identical records pass, a shifted ELBO
+    endpoint fails, missing keys (family differences) are tolerated."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "quality_baseline_check", "/root/repo/scripts/quality_baseline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = {"final_val_neg_elbo": -1426.26, "final_train_neg_elbo": -1423.8,
+            "final_val_recons": 22.4, "final_train_recons": 22.46,
+            "sigma_final": 0.0282, "encoder_fid_generated_vs_test": 0.0092,
+            "active_mixtures": 23}
+    p = tmp_path / "base.json"
+    p.write_text(json.dumps(base))
+    assert mod.check_against(dict(base), str(p), 0.05) == 0
+    assert mod.check_against(
+        dict(base, final_val_neg_elbo=-1141.0), str(p), 0.05) == 1
+    assert mod.check_against(
+        dict(base, active_mixtures=2), str(p), 0.05) == 1
+    # a record missing FID (e.g. smoke without a GM fit) still checks
+    nofid = dict(base)
+    nofid.pop("encoder_fid_generated_vs_test")
+    assert mod.check_against(nofid, str(p), 0.05) == 0

@@ -53,6 +53,11 @@ from ladder_tpu.utils import plotting
 class JointTrainer:
     """Dataset-agnostic core; subclasses provide the batch sources."""
 
+    # single-process default; __init__ re-derives it from
+    # jax.process_index() so partially-constructed instances (tests,
+    # tooling) keep single-writer semantics
+    is_lead = True
+
     def __init__(self, model, data, config, mesh=None):
         self.model = model
         self.data = data

@@ -84,8 +84,16 @@ from ladder_tpu.utils.config import create_dirs
 cfg = json.loads(open(os.path.join(workdir, "cfg.json")).read())
 create_dirs([cfg["result_dir"], cfg["checkpoint_dir"]])
 trainer = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg,
-                       mesh=make_mesh())
+                       mesh=make_mesh(cfg))
 assert trainer.is_lead == (pid == 0)
+if cfg.get("mesh_shape") and len(cfg["mesh_shape"]) == 2:
+    # tensor-parallel under jax.distributed: params/Adam moments shard
+    # over the model axis AND replicate over the cross-process data axis,
+    # so TP leaves are neither fully replicated nor fully addressable —
+    # every checkpoint save exercises the collective process_allgather
+    leaves = jax.tree.leaves(trainer.state["params"])
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
+    assert any(not l.is_fully_addressable for l in leaves)
 trainer.train()
 m = trainer.metrics
 np.savez(os.path.join(workdir, f"curves_{pid}.npz"),
@@ -109,18 +117,16 @@ def _trainer_config(make_config, workdir):
     return cfg
 
 
-def test_two_process_trainer_e2e(tmp_path):
-    """VERDICT r3 item 2: the FULL JointTrainer under jax.distributed — two
-    processes sharing one experiment directory train 2 epochs (sg phase +
-    GM-fit phase). Every file artifact is written exactly once (process-0
-    gating: no scalars.jsonl duplication, no checkpoint/tmp races), both
-    processes agree on the curves, and the curves equal a single-process
-    run of the identical global program."""
+def _run_two_process_trainer(tmp_path, cfg_extra=None):
+    """Launch the TRAINER_WORKER twice under one jax.distributed cluster,
+    assert the single-writer artifact discipline, and return the two
+    processes' recorded curves."""
     from tests.conftest import make_config
 
     workdir = tmp_path / "shared"
     workdir.mkdir()
     cfg = _trainer_config(make_config, str(workdir))
+    cfg.update(cfg_extra or {})
     (workdir / "cfg.json").write_text(json.dumps(cfg))
     script = tmp_path / "trainer_worker.py"
     script.write_text(TRAINER_WORKER)
@@ -164,9 +170,13 @@ def test_two_process_trainer_e2e(tmp_path):
     c1 = np.load(workdir / "curves_1.npz")
     np.testing.assert_allclose(c0["train_loss"], c1["train_loss"], rtol=1e-6)
     np.testing.assert_allclose(c0["sigma"], c1["sigma"], rtol=1e-6)
+    return cfg, c0
 
-    # ...and they equal the single-process run of the same global program
-    # (this pytest process has the 8-virtual-device CPU mesh)
+
+def _single_process_curves(tmp_path, cfg_extra=None):
+    """Run the identical global program single-process on this pytest
+    process's 8-virtual-device mesh and return its metrics."""
+    from tests.conftest import make_config
     from ladder_tpu.data.mnist import DataGenerator
     from ladder_tpu.models.builder import make_model
     from ladder_tpu.parallel.mesh import make_mesh
@@ -176,16 +186,20 @@ def test_two_process_trainer_e2e(tmp_path):
     sdir = tmp_path / "single"
     sdir.mkdir()
     scfg = _trainer_config(make_config, str(sdir))
+    scfg.update(cfg_extra or {})
     create_dirs([scfg["result_dir"], scfg["checkpoint_dir"]])
     cwd = os.getcwd()
     try:
         os.chdir(sdir)
         trainer = MNISTTrainer(make_model(scfg), DataGenerator(scfg), scfg,
-                               mesh=make_mesh())
+                               mesh=make_mesh(scfg))
         trainer.train()
     finally:
         os.chdir(cwd)
-    m = trainer.metrics
+    return trainer.metrics
+
+
+def _assert_curves_match(c0, m):
     assert c0["train_loss"].shape == (2 * 128 // 32,)
     np.testing.assert_allclose(c0["train_loss"],
                                np.asarray(m.train_loss, np.float64),
@@ -196,6 +210,30 @@ def test_two_process_trainer_e2e(tmp_path):
     np.testing.assert_allclose(c0["val"],
                                np.asarray(m.val_loss_ave_epoch, np.float64),
                                rtol=2e-3)
+
+
+def test_two_process_trainer_e2e(tmp_path):
+    """VERDICT r3 item 2: the FULL JointTrainer under jax.distributed — two
+    processes sharing one experiment directory train 2 epochs (sg phase +
+    GM-fit phase). Every file artifact is written exactly once (process-0
+    gating: no scalars.jsonl duplication, no checkpoint/tmp races), both
+    processes agree on the curves, and the curves equal a single-process
+    run of the identical global program."""
+    cfg, c0 = _run_two_process_trainer(tmp_path)
+    _assert_curves_match(c0, _single_process_curves(tmp_path))
+
+
+def test_two_process_tp_trainer_e2e(tmp_path):
+    """Tensor parallelism ACROSS processes: the full trainer on a 2-process
+    jax.distributed cluster with config['mesh_shape']=[4, 2] — params and
+    Adam moments shard over the model axis while replicating over the
+    cross-process data axis, so every checkpoint/GM/plot gather goes
+    through the collective process_allgather path (utils/checkpoint.py
+    _to_host). Curves must agree across processes and with the
+    single-process run of the same 4x2 global program."""
+    cfg, c0 = _run_two_process_trainer(tmp_path, {"mesh_shape": [4, 2]})
+    _assert_curves_match(
+        c0, _single_process_curves(tmp_path, {"mesh_shape": [4, 2]}))
 
 
 def test_two_process_global_batch(tmp_path):

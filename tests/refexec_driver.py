@@ -54,9 +54,28 @@ def install_shims():
     # exact variable naming and per-scope uniquification (dense, dense_1,
     # ... / explicit names verbatim), so the reference Savers see the
     # reference's variable set.
+    #
+    # Default names come from explicit per-scope counters rather than
+    # tf1.variable_scope(None, default_name=...): under a reuse=True scope
+    # (the vampPrior pseudo-input encoder, base.py:228-238) default_name
+    # uniquification would mint FRESH scope names (conv2d_3, ...) and
+    # reuse lookup would fail; a counter keyed by (scope, reuse) restarts
+    # the sequence on the reuse visit so get_variable finds the originals.
+    # On non-reuse paths the generated names are identical to TF1's.
+    _layer_uids = {}
+
+    def _layer_name(name, base):
+        if name is not None:
+            return name
+        scope = tf1.get_variable_scope()
+        key = (scope.name, bool(scope.reuse), base)
+        k = _layer_uids.get(key, 0)
+        _layer_uids[key] = k + 1
+        return base if k == 0 else f"{base}_{k}"
+
     def _dense(inputs, units, activation=None, kernel_initializer=None,
                name=None):
-        with tf1.variable_scope(name, default_name="dense"):
+        with tf1.variable_scope(_layer_name(name, "dense")):
             kernel = tf1.get_variable(
                 "kernel", [int(inputs.shape[-1]), int(units)],
                 dtype=tf1.float32, initializer=kernel_initializer)
@@ -71,7 +90,7 @@ def install_shims():
         k = ([kernel_size] * 2 if isinstance(kernel_size, int)
              else list(kernel_size))
         s = [strides] * 2 if isinstance(strides, int) else list(strides)
-        with tf1.variable_scope(name, default_name="conv2d"):
+        with tf1.variable_scope(_layer_name(name, "conv2d")):
             kernel = tf1.get_variable(
                 "kernel", k + [int(inputs.shape[-1]), int(filters)],
                 dtype=tf1.float32, initializer=kernel_initializer)
@@ -92,7 +111,7 @@ def install_shims():
         # the reference only ever runs training-mode BN (is_training is a
         # constant-True tensor, models.py:471), so batch statistics are
         # used unconditionally; gamma/beta live under the TF1 layer names.
-        with tf1.variable_scope(name, default_name="batch_normalization"):
+        with tf1.variable_scope(_layer_name(name, "batch_normalization")):
             c = int(inputs.shape[-1])
             gamma = tf1.get_variable("gamma", [c], dtype=tf1.float32,
                                      initializer=tf1.ones_initializer())

@@ -83,10 +83,20 @@ def main():
 
     with open(args.config) as f:
         config = json.load(f)
-    assert config["prior"] == "ours", "train-parity driver covers 'ours'"
+    prior = config["prior"]
+    assert prior in ("ours", "vampPrior"), prior
     model = ref_models.MNISTModel_digit(config)
-    assert len(eps_phs) == 3, f"expected 3 sample sites, saw {len(eps_phs)}"
-    ph_z, ph_t, ph_mc = eps_phs  # creation order: z, t, MC (see docstring)
+    if prior == "ours":
+        # creation order: z (models.py:100), t (base.py:167), MC (base.py:311)
+        assert len(eps_phs) == 3, f"expected 3 sample sites, saw {len(eps_phs)}"
+        ph_z, ph_t, ph_mc = eps_phs
+    else:
+        # vampPrior: z (models.py:100) and the L-sample MC estimate
+        # (base.py:364-366); define_vampPrior's per-component MVNDiags
+        # never call sample()
+        assert len(eps_phs) == 2, f"expected 2 sample sites, saw {len(eps_phs)}"
+        ph_z, ph_mc = eps_phs
+        ph_t = None
 
     data = np.load(args.data)
     batches = data["batches"]
@@ -100,11 +110,18 @@ def main():
         open(os.path.join(ckdir, stub), "a").close()
 
     # trajectory buffers, keyed like the BaseTrain record lists
-    traj = {k: [] for k in (
-        "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
-        "crossEntropy_prior", "sigma_regularisor", "sigma", "elbo_prior",
-        "code_l1_reconstruction_error", "code_reconstruction_likelihood",
-        "entropy_t", "crossEntropy_representation", "inner_sigma")}
+    if prior == "ours":
+        traj_keys = (
+            "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
+            "crossEntropy_prior", "sigma_regularisor", "sigma", "elbo_prior",
+            "code_l1_reconstruction_error", "code_reconstruction_likelihood",
+            "entropy_t", "crossEntropy_representation", "inner_sigma")
+    else:  # vampPrior: base.py:625-634 'else' branch record lists
+        traj_keys = (
+            "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
+            "crossEntropy_prior", "sigma_regularisor", "sigma",
+            "loss_prior", "crossEntropy_prior_substep")
+    traj = {k: [] for k in traj_keys}
 
     with tf1.Session() as sess:
         sess.run(tf1.global_variables_initializer())
@@ -114,36 +131,49 @@ def main():
         for s in range(S):
             in_sg = s < steps_sg
             cur_epoch = sgp if in_sg else sgp + 1
-            # compute_feeddict for 'ours' (base.py:868-900)
-            feed = {
-                model.original_signal: batches[s],
-                model.is_code_input: False,
-                model.code_input: np.zeros((1, config["code_size"]),
-                                           np.float32),
-                model.is_outer_VAE_input: True,
-                model.customised_inner_VAE_input: np.zeros(
-                    (1, config["code_size"]), np.float32),
-                model.is_representation_input: False,
-                model.representation_input: np.zeros((1, rep), np.float32),
-                model.use_mask: cur_epoch >= config["use_mask_start"],
-            }
-            if in_sg:
-                feed[model.prior_mean] = np.zeros((n_mix, rep), np.float32)
-                feed[model.prior_cov] = np.tile(np.eye(rep, dtype=np.float32),
-                                                (n_mix, 1, 1))
-                feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
-                                                   np.float32)
-                feed[model.use_standard_gaussian_prior] = True
+            if prior == "ours":
+                # compute_feeddict for 'ours' (base.py:868-900)
+                feed = {
+                    model.original_signal: batches[s],
+                    model.is_code_input: False,
+                    model.code_input: np.zeros((1, config["code_size"]),
+                                               np.float32),
+                    model.is_outer_VAE_input: True,
+                    model.customised_inner_VAE_input: np.zeros(
+                        (1, config["code_size"]), np.float32),
+                    model.is_representation_input: False,
+                    model.representation_input: np.zeros((1, rep),
+                                                         np.float32),
+                    model.use_mask: cur_epoch >= config["use_mask_start"],
+                }
+                if in_sg:
+                    feed[model.prior_mean] = np.zeros((n_mix, rep),
+                                                      np.float32)
+                    feed[model.prior_cov] = np.tile(
+                        np.eye(rep, dtype=np.float32), (n_mix, 1, 1))
+                    feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
+                                                       np.float32)
+                    feed[model.use_standard_gaussian_prior] = True
+                else:
+                    feed[model.prior_mean] = data["gm_means"]
+                    feed[model.prior_cov] = data["gm_cov"]
+                    feed[model.prior_weight] = data["gm_weights"]
+                    feed[model.use_standard_gaussian_prior] = False
             else:
-                feed[model.prior_mean] = data["gm_means"]
-                feed[model.prior_cov] = data["gm_cov"]
-                feed[model.prior_weight] = data["gm_weights"]
-                feed[model.use_standard_gaussian_prior] = False
+                # compute_feeddict for 'vampPrior' (base.py:934-942)
+                feed = {
+                    model.original_signal: batches[s],
+                    model.is_code_input: False,
+                    model.code_input: np.zeros((1, config["code_size"]),
+                                               np.float32),
+                    model.use_standard_gaussian_prior: in_sg,
+                }
 
             def sub(i, extra, fetches, op, feed=feed, s=s):
                 f = dict(feed)
                 f[ph_z] = data["eps_z"][s, i]
-                f[ph_t] = data["eps_t"][s, i]
+                if ph_t is not None:
+                    f[ph_t] = data["eps_t"][s, i]
                 f[ph_mc] = data["eps_mc"][s, i]
                 f.update(extra)
                 return sess.run(fetches + [op], feed_dict=f)[:-1]
@@ -172,24 +202,36 @@ def main():
             # for both phases here
             lr_prior = (config["learning_rate_prior"]
                         * 1.01 ** (cur_epoch - 1))
-            vals = sub(2, {model.lr_prior: lr_prior},
-                       [model.elbo_prior,
-                        model.code_l1_reconstruction_error,
-                        model.code_reconstruction_likelihood,
-                        model.entropy_t, model.crossEntropy_representation,
-                        model.inner_sigma],
-                       model.train_step_prior)
-            for k, v in zip(("elbo_prior", "code_l1_reconstruction_error",
-                             "code_reconstruction_likelihood", "entropy_t",
-                             "crossEntropy_representation", "inner_sigma"),
-                            vals):
-                traj[k].append(v)
+            if prior == "ours":
+                vals = sub(2, {model.lr_prior: lr_prior},
+                           [model.elbo_prior,
+                            model.code_l1_reconstruction_error,
+                            model.code_reconstruction_likelihood,
+                            model.entropy_t,
+                            model.crossEntropy_representation,
+                            model.inner_sigma],
+                           model.train_step_prior)
+                for k, v in zip(("elbo_prior",
+                                 "code_l1_reconstruction_error",
+                                 "code_reconstruction_likelihood",
+                                 "entropy_t", "crossEntropy_representation",
+                                 "inner_sigma"), vals):
+                    traj[k].append(v)
 
-            # sub-step 4: inner sigma (base.py:631-636)
-            lr_inner = (config["learning_rate_inner_sigma"]
-                        * 1.01 ** (cur_epoch - 1))
-            sub(3, {model.lr_inner_sigma: lr_inner}, [],
-                model.train_step_inner_sigma)
+                # sub-step 4: inner sigma (base.py:631-636)
+                lr_inner = (config["learning_rate_inner_sigma"]
+                            * 1.01 ** (cur_epoch - 1))
+                sub(3, {model.lr_inner_sigma: lr_inner}, [],
+                    model.train_step_inner_sigma)
+            else:
+                # vampPrior: the prior sub-step optimises loss_prior
+                # (= negative_elbo, base.py:408-409) over the pseudo-input
+                # variable only; no inner-sigma sub-step (base.py:509-511)
+                vals = sub(2, {model.lr_prior: lr_prior},
+                           [model.crossEntropy_prior, model.loss_prior],
+                           model.train_step_prior)
+                traj["crossEntropy_prior_substep"].append(vals[0])
+                traj["loss_prior"].append(vals[1])
 
         out = {k: np.asarray(v) for k, v in traj.items()}
         for v in tf1.trainable_variables():

@@ -208,3 +208,166 @@ def test_final_weights_match_reference(train_parity):
         np.testing.assert_allclose(
             np.asarray(leaf, np.float64), np.asarray(val, np.float64),
             rtol=2e-3, atol=2e-4, err_msg=f"final weight mismatch: {name}")
+
+
+# ---------------------------------------------------------------------------
+# vampPrior family: same harness, the reference's OTHER gradient-trained
+# prior. Sub-steps per batch are ae, sigma, prior (loss_prior =
+# negative_elbo over the pseudo-input variable, base.py:408-412, 481-482;
+# no inner-sigma step, base.py:509-511), and the graph has two sample
+# sites (z + the L-sample MC estimate, base.py:364-366). The pseudo-input
+# encoder reuse (base.py:228-238) additionally exercises the shim's
+# reuse-correct default layer naming.
+# ---------------------------------------------------------------------------
+
+SV = 3  # vamp sub-steps per step
+
+
+def _make_data_vamp(cfg, rng):
+    data = dict(
+        batches=rng.random((S, B, 28, 28, 1)).astype(np.float32),
+        eps_z=rng.standard_normal((S, SV, B, CODE)).astype(np.float32),
+        eps_mc=rng.standard_normal((S, SV, L, B, CODE)).astype(np.float32),
+        steps_sg=np.asarray(S_SG),
+        # unused by the vamp branches; the driver reads their shapes
+        gm_means=np.zeros((K, REP), np.float32),
+        gm_cov=np.tile(np.eye(REP, dtype=np.float32), (K, 1, 1)),
+        gm_weights=np.full((K,), 1.0 / K, np.float32),
+    )
+    return data
+
+
+@pytest.fixture(scope="module")
+def train_parity_vamp(tmp_path_factory):
+    pytest.importorskip("tensorflow")
+    from tests.conftest import make_config
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training import losses
+    from ladder_tpu.training.step import init_state, make_train_step
+    from ladder_tpu.utils import tf1_import
+
+    scratch = tmp_path_factory.mktemp("refexec_train_vamp")
+    cfg = make_config(prior="vampPrior", num_hidden_units=64,
+                      code_size=CODE, batch_size=B, n_MC_samples=L,
+                      n_mixtures=K, sg_pretraining=1)
+    cfg["checkpoint_dir"] = str(scratch / "ck")
+    model = make_model(cfg)
+    params0 = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(7)))
+    tf1_import.export_reference_checkpoint(params0, cfg,
+                                           cfg["checkpoint_dir"])
+
+    data = _make_data_vamp(cfg, np.random.default_rng(5))
+    np.savez(scratch / "data.npz", **data)
+    (scratch / "cfg.json").write_text(json.dumps(cfg))
+
+    proc = subprocess.run(
+        [sys.executable,
+         os.path.join(REPO, "tests", "refexec_train_driver.py"),
+         "--config", str(scratch / "cfg.json"),
+         "--data", str(scratch / "data.npz"),
+         "--out", str(scratch / "ref_out.npz")],
+        capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "REFEXEC_TRAIN_OK" in proc.stdout
+    ref = dict(np.load(scratch / "ref_out.npz"))
+
+    # our side: eps queue in (step, sub-step, site) order — two sites
+    queue = []
+    for s in range(S):
+        for i in range(SV):
+            queue += [data["eps_z"][s, i], data["eps_mc"][s, i]]
+    idx = [0]
+
+    def fed_sample(rng, mean, std):
+        eps = queue[idx[0]]
+        idx[0] += 1
+        assert eps.shape == tuple(mean.shape), (eps.shape, mean.shape)
+        return mean + std * jnp.asarray(eps)
+
+    orig = losses.sample_diag_gaussian
+    losses.sample_diag_gaussian = fed_sample
+    try:
+        step_fn = make_train_step(model, jit=False)
+        state = init_state(model, jax.random.PRNGKey(7))
+        ours = {}
+        for s in range(S):
+            in_sg = s < S_SG
+            e = cfg["sg_pretraining"] + (0 if in_sg else 1)
+            lrs = {
+                "ae": cfg["learning_rate_ae"] * 0.99 ** (e - 1),
+                "sigma": cfg["learning_rate_sigma"] * 0.99 ** (e - 1),
+                "prior": cfg["learning_rate_prior"] * 1.01 ** (e - 1),
+                "inner_sigma": (cfg["learning_rate_inner_sigma"]
+                                * 1.01 ** (e - 1)),
+            }
+            flags = {"use_sg_prior": jnp.asarray(in_sg),
+                     "use_mask": jnp.asarray(False)}
+            gm = losses.identity_gm(K, REP)
+            state, out = step_fn(state, jnp.asarray(data["batches"][s]),
+                                 jax.random.PRNGKey(0), gm, flags, lrs,
+                                 do_prior=True)
+            rec = {**{k: out["ae"][k] for k in (
+                       "loss_ae", "elbo", "l1_reconstruction_error",
+                       "entropy_z", "crossEntropy_prior",
+                       "sigma_regularisor")},
+                   "sigma": out["sigma"]["sigma"],
+                   "loss_prior": out["prior"]["loss_prior"],
+                   "crossEntropy_prior_substep":
+                       out["prior"]["crossEntropy_prior"]}
+            for k, v in rec.items():
+                ours.setdefault(k, []).append(float(v))
+        assert idx[0] == len(queue), "eps stream not fully consumed"
+        ours = {k: np.asarray(v) for k, v in ours.items()}
+        final_params = jax.tree.map(np.asarray, state["params"])
+    finally:
+        losses.sample_diag_gaussian = orig
+
+    return cfg, ref, ours, final_params
+
+
+VAMP_TRAJ_KEYS = (
+    "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
+    "crossEntropy_prior", "sigma_regularisor", "sigma", "loss_prior",
+    "crossEntropy_prior_substep")
+
+
+@pytest.mark.parametrize("key", VAMP_TRAJ_KEYS)
+def test_vamp_trajectory_matches_reference(train_parity_vamp, key):
+    cfg, ref, ours, _ = train_parity_vamp
+    assert ref[key].shape == (S,)
+    np.testing.assert_allclose(ours[key], ref[key], err_msg=key, **TRAJ_TOL)
+
+
+def test_vamp_trajectories_actually_move(train_parity_vamp):
+    cfg, ref, ours, _ = train_parity_vamp
+    for tr in (ref, ours):
+        assert np.std(tr["loss_ae"]) > 1e-3
+        assert np.std(tr["sigma"]) > 1e-6
+    # the pseudo-prior CE only becomes live after the sg phase
+    assert not np.allclose(ref["crossEntropy_prior"][:S_SG].mean(),
+                           ref["crossEntropy_prior"][S_SG:].mean())
+
+
+def test_vamp_final_weights_match_reference(train_parity_vamp):
+    """20 steps x 3 sequential Adam updates: every trainable variable of
+    the reference's vamp graph — encoder/decoder/sigma AND the pseudo-input
+    tensor ('prior/Variable') — must equal ours."""
+    from ladder_tpu.utils import tf1_import
+
+    cfg, ref, ours, final_params = train_parity_vamp
+    name_map = tf1_import.reference_name_map(final_params, cfg)
+    ref_vars = {k[len("var::"):]: v for k, v in ref.items()
+                if k.startswith("var::")}
+    assert set(ref_vars) == set(name_map), "trainable variable sets differ"
+    assert "prior/Variable" in ref_vars
+    # atol 1e-3 (vs 2e-4 for 'ours'): vamp's loss runs the encoder TWICE
+    # per forward (pseudo-input reuse), doubling the f32 conv accumulation
+    # drift; measured max deviation 4.9e-4 on 2/9216 elements of one
+    # kernel, everything else inside the 'ours' bound
+    for name, val in ref_vars.items():
+        leaf = final_params
+        for key in name_map[name]:
+            leaf = leaf[key]
+        np.testing.assert_allclose(
+            np.asarray(leaf, np.float64), np.asarray(val, np.float64),
+            rtol=2e-3, atol=1e-3, err_msg=f"final weight mismatch: {name}")

@@ -1,36 +1,48 @@
 """Execute the REFERENCE's own TRAIN OPS (read-only, from /root/reference)
 side-by-side-ably: restore a checkpoint produced by OUR exporter, then run
 the reference's per-batch training protocol — sess.run(train_step_ae), then
-train_step_sigma, train_step_prior, train_step_inner_sigma, each a separate
-graph execution exactly as BaseTrain.train_step_ae / train_step_prior drive
-them (/root/reference/codes/base.py:583-641, trainers.py:33-40) — for S
-steps, and dump the full loss/sigma trajectories plus the final weights.
+train_step_sigma(, train_step_prior, train_step_inner_sigma), each a
+separate graph execution exactly as BaseTrain.train_step_ae /
+train_step_prior drive them (/root/reference/codes/base.py:583-641,
+trainers.py:33-40) — for S steps, and dump the full loss/sigma trajectories
+plus the final weights.
+
+Covers EVERY prior family (base.py:257-413):
+  prior              sub-steps                      sample sites
+  ours               ae, sigma, prior, inner_sigma  z, t, MC(t)
+  hierarchical       ae, sigma, prior, inner_sigma  z, t
+  vampPrior          ae, sigma, prior               z, MC(z)
+  GMM                ae, sigma                      z, MC(z)
+  standard_gaussian  ae, sigma                      z
 
 What executes as genuine reference code: the whole forward graph (as in
 refexec_driver.py), define_loss, compute_gradients — i.e. the reference's
 OWN tf.train.AdamOptimizer(beta1=0.9, beta2=0.95) instances, its
-ClipIfNotNone +-1 clipping, its 4-optimiser-group sequential update order
-(base.py:457-517), and its lr schedules (base.py:589, 601, 610, 633-636).
+ClipIfNotNone +-1 clipping, its sequential update order (base.py:457-517),
+and its lr schedules (base.py:589, 601, 610, 633-636).
 
 The ONLY substitution beyond refexec_driver's shims: the shim tfp
 MultivariateNormalDiag.sample() reads eps from a placeholder instead of
-tf.random.normal, fed from the npz. The reference graph has exactly three
-sample sites ('ours' prior: z at models.py:100, t at base.py:167, MC at
-base.py:311); the JAX side consumes the identical eps stream, so every
-divergence in the recorded trajectories is framework math, not noise.
+tf.random.normal, fed from the npz; the JAX side consumes the identical
+eps stream, so every divergence in the recorded trajectories is framework
+math, not noise. Every sub-step re-executes the graph with fresh noise on
+both sides, exactly the reference's sess.run protocol.
 
 Usage: python refexec_train_driver.py --config cfg.json --data data.npz \
            --out out.npz
 data.npz:
-  batches  [S, B, H, W, C]   one batch per step
-  eps_z    [S, 4, B, code]   per step x sub-step (ae, sigma, prior, inner)
-  eps_t    [S, 4, B, rep]
-  eps_mc   [S, 4, L, B, rep]
-  gm_means [K, rep], gm_cov [K, rep, rep], gm_weights [K]
-  steps_sg []                steps 0..steps_sg-1 run at cur_epoch ==
-                             sg_pretraining (sg-overlap epoch: sg feeds,
-                             prior training active, trainers.py:39); the
-                             rest at sg_pretraining+1 with the GM feeds.
+  batches  [S, B, H, W, C]     one batch per step
+  eps_z    [S, n_sub, B, code] per step x sub-step
+  eps_t    [S, n_sub, B, rep]          (ours / hierarchical)
+  eps_mc   [S, n_sub, L, B, rep|code]  (ours: rep; vampPrior/GMM: code)
+  gm_means [K, d], gm_cov [K, d, d], gm_weights [K]
+           (ours: d=rep, t-space; GMM: d=code, z-space; unused otherwise)
+  steps_sg []                  steps 0..steps_sg-1 run in the first phase
+           (ours/hierarchical/vampPrior: cur_epoch == sg_pretraining with
+           use_standard_gaussian_prior=True, the sg-overlap epoch of
+           trainers.py:39 vs base.py:868; GMM: cur_epoch 1 with the
+           identity GM feed of base.py:913-921). The rest run one epoch
+           later with the npz GM / the learned prior.
 """
 
 import argparse
@@ -45,6 +57,22 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from refexec_driver import install_shims  # noqa: E402
+
+SITES = {
+    "ours": ("z", "t", "mc"),
+    "hierarchical": ("z", "t"),
+    "vampPrior": ("z", "mc"),
+    "GMM": ("z", "mc"),
+    "standard_gaussian": ("z",),
+}
+
+# record lists per family, keyed like the BaseTrain buffers
+COMMON_KEYS = ("loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
+               "crossEntropy_prior", "sigma_regularisor", "sigma")
+INNER_KEYS = ("elbo_prior", "code_l1_reconstruction_error",
+              "code_reconstruction_likelihood", "entropy_t",
+              "crossEntropy_representation", "inner_sigma")
+VAMP_KEYS = ("loss_prior", "crossEntropy_prior_substep")
 
 
 def feed_eps_placeholders(tf1):
@@ -84,97 +112,95 @@ def main():
     with open(args.config) as f:
         config = json.load(f)
     prior = config["prior"]
-    assert prior in ("ours", "vampPrior"), prior
+    sites = SITES[prior]
     model = ref_models.MNISTModel_digit(config)
-    if prior == "ours":
-        # creation order: z (models.py:100), t (base.py:167), MC (base.py:311)
-        assert len(eps_phs) == 3, f"expected 3 sample sites, saw {len(eps_phs)}"
-        ph_z, ph_t, ph_mc = eps_phs
-    else:
-        # vampPrior: z (models.py:100) and the L-sample MC estimate
-        # (base.py:364-366); define_vampPrior's per-component MVNDiags
-        # never call sample()
-        assert len(eps_phs) == 2, f"expected 2 sample sites, saw {len(eps_phs)}"
-        ph_z, ph_mc = eps_phs
-        ph_t = None
+    # creation order: z (models.py:100), then t (base.py:167, inner VAE)
+    # and/or the MC site (base.py:311/364); define_vampPrior's per-component
+    # MVNDiags never call sample()
+    assert len(eps_phs) == len(sites), (len(eps_phs), sites)
+    ph = dict(zip(sites, eps_phs))
 
     data = np.load(args.data)
     batches = data["batches"]
     S = batches.shape[0]
     steps_sg = int(data["steps_sg"])
-    n_mix, rep = data["gm_means"].shape
+    n_mix, gm_dim = data["gm_means"].shape
+    code = config["code_size"]
+    rep = config["representation_size"]
     sgp = config["sg_pretraining"]
+    joint = prior in ("ours", "hierarchical", "vampPrior")
 
     ckdir = config["checkpoint_dir"]
-    for stub in ("vae-model.meta", "prior-model.meta"):
+    stubs = ["vae-model.meta"] + (["prior-model.meta"] if joint else [])
+    for stub in stubs:
         open(os.path.join(ckdir, stub), "a").close()
 
-    # trajectory buffers, keyed like the BaseTrain record lists
-    if prior == "ours":
-        traj_keys = (
-            "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
-            "crossEntropy_prior", "sigma_regularisor", "sigma", "elbo_prior",
-            "code_l1_reconstruction_error", "code_reconstruction_likelihood",
-            "entropy_t", "crossEntropy_representation", "inner_sigma")
-    else:  # vampPrior: base.py:625-634 'else' branch record lists
-        traj_keys = (
-            "loss_ae", "elbo", "l1_reconstruction_error", "entropy_z",
-            "crossEntropy_prior", "sigma_regularisor", "sigma",
-            "loss_prior", "crossEntropy_prior_substep")
+    traj_keys = COMMON_KEYS
+    if prior in ("ours", "hierarchical"):
+        traj_keys = traj_keys + INNER_KEYS
+    elif prior == "vampPrior":
+        traj_keys = traj_keys + VAMP_KEYS
     traj = {k: [] for k in traj_keys}
+
+    def build_feed(s, in_sg, cur_epoch):
+        """compute_feeddict per family (base.py:863-942)."""
+        feed = {
+            model.original_signal: batches[s],
+            model.is_code_input: False,
+            model.code_input: np.zeros((1, code), np.float32),
+        }
+        if prior in ("ours", "hierarchical"):
+            feed[model.is_outer_VAE_input] = True
+            feed[model.customised_inner_VAE_input] = np.zeros(
+                (1, code), np.float32)
+            feed[model.is_representation_input] = False
+            feed[model.representation_input] = np.zeros((1, rep), np.float32)
+            feed[model.use_standard_gaussian_prior] = in_sg
+        if prior == "ours":
+            feed[model.use_mask] = cur_epoch >= config["use_mask_start"]
+            if in_sg:
+                feed[model.prior_mean] = np.zeros((n_mix, gm_dim), np.float32)
+                feed[model.prior_cov] = np.tile(
+                    np.eye(gm_dim, dtype=np.float32), (n_mix, 1, 1))
+                feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
+                                                   np.float32)
+            else:
+                feed[model.prior_mean] = data["gm_means"]
+                feed[model.prior_cov] = data["gm_cov"]
+                feed[model.prior_weight] = data["gm_weights"]
+        elif prior == "vampPrior":
+            feed[model.use_standard_gaussian_prior] = in_sg
+        elif prior == "GMM":
+            # base.py:913-933: identity GM on epoch 1, the fitted GM after
+            if in_sg:
+                feed[model.prior_mean] = np.zeros((n_mix, gm_dim), np.float32)
+                feed[model.prior_cov] = np.tile(
+                    np.eye(gm_dim, dtype=np.float32), (n_mix, 1, 1))
+                feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
+                                                   np.float32)
+            else:
+                feed[model.prior_mean] = data["gm_means"]
+                feed[model.prior_cov] = data["gm_cov"]
+                feed[model.prior_weight] = data["gm_weights"]
+        return feed
 
     with tf1.Session() as sess:
         sess.run(tf1.global_variables_initializer())
         model.load(sess, "VAE")
-        model.load(sess, "prior")
+        if joint:
+            model.load(sess, "prior")
 
         for s in range(S):
             in_sg = s < steps_sg
-            cur_epoch = sgp if in_sg else sgp + 1
-            if prior == "ours":
-                # compute_feeddict for 'ours' (base.py:868-900)
-                feed = {
-                    model.original_signal: batches[s],
-                    model.is_code_input: False,
-                    model.code_input: np.zeros((1, config["code_size"]),
-                                               np.float32),
-                    model.is_outer_VAE_input: True,
-                    model.customised_inner_VAE_input: np.zeros(
-                        (1, config["code_size"]), np.float32),
-                    model.is_representation_input: False,
-                    model.representation_input: np.zeros((1, rep),
-                                                         np.float32),
-                    model.use_mask: cur_epoch >= config["use_mask_start"],
-                }
-                if in_sg:
-                    feed[model.prior_mean] = np.zeros((n_mix, rep),
-                                                      np.float32)
-                    feed[model.prior_cov] = np.tile(
-                        np.eye(rep, dtype=np.float32), (n_mix, 1, 1))
-                    feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
-                                                       np.float32)
-                    feed[model.use_standard_gaussian_prior] = True
-                else:
-                    feed[model.prior_mean] = data["gm_means"]
-                    feed[model.prior_cov] = data["gm_cov"]
-                    feed[model.prior_weight] = data["gm_weights"]
-                    feed[model.use_standard_gaussian_prior] = False
-            else:
-                # compute_feeddict for 'vampPrior' (base.py:934-942)
-                feed = {
-                    model.original_signal: batches[s],
-                    model.is_code_input: False,
-                    model.code_input: np.zeros((1, config["code_size"]),
-                                               np.float32),
-                    model.use_standard_gaussian_prior: in_sg,
-                }
+            # GMM has no sg-overlap epoch: phase 1 IS epoch 1
+            cur_epoch = (1 if in_sg else 2) if prior == "GMM" else \
+                        (sgp if in_sg else sgp + 1)
+            feed = build_feed(s, in_sg, cur_epoch)
 
             def sub(i, extra, fetches, op, feed=feed, s=s):
                 f = dict(feed)
-                f[ph_z] = data["eps_z"][s, i]
-                if ph_t is not None:
-                    f[ph_t] = data["eps_t"][s, i]
-                f[ph_mc] = data["eps_mc"][s, i]
+                for site, p in ph.items():
+                    f[p] = data[f"eps_{site}"][s, i]
                 f.update(extra)
                 return sess.run(fetches + [op], feed_dict=f)[:-1]
 
@@ -197,12 +223,15 @@ def main():
                            model.train_step_sigma)
             traj["sigma"].append(sigma)
 
+            if not joint:
+                continue  # standard_gaussian / GMM: VAE-only training
+
             # sub-step 3: prior (train_step_prior, base.py:608-629);
             # trainers.py:39 gates on cur_epoch > sg_pretraining-1, true
             # for both phases here
             lr_prior = (config["learning_rate_prior"]
                         * 1.01 ** (cur_epoch - 1))
-            if prior == "ours":
+            if prior in ("ours", "hierarchical"):
                 vals = sub(2, {model.lr_prior: lr_prior},
                            [model.elbo_prior,
                             model.code_l1_reconstruction_error,
@@ -211,11 +240,7 @@ def main():
                             model.crossEntropy_representation,
                             model.inner_sigma],
                            model.train_step_prior)
-                for k, v in zip(("elbo_prior",
-                                 "code_l1_reconstruction_error",
-                                 "code_reconstruction_likelihood",
-                                 "entropy_t", "crossEntropy_representation",
-                                 "inner_sigma"), vals):
+                for k, v in zip(INNER_KEYS, vals):
                     traj[k].append(v)
 
                 # sub-step 4: inner sigma (base.py:631-636)
@@ -225,7 +250,7 @@ def main():
                     model.train_step_inner_sigma)
             else:
                 # vampPrior: the prior sub-step optimises loss_prior
-                # (= negative_elbo, base.py:408-409) over the pseudo-input
+                # (= negative_elbo, base.py:408-412) over the pseudo-input
                 # variable only; no inner-sigma sub-step (base.py:509-511)
                 vals = sub(2, {model.lr_prior: lr_prior},
                            [model.crossEntropy_prior, model.loss_prior],

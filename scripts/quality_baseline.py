@@ -1,9 +1,9 @@
 """Standing quality-baseline record (VERDICT r3 item 5).
 
-Runs the full 30-epoch MNIST-digit reference recipe
-(codes/mnist_digit_config.json hyperparameters: batch 256, K=50 mixtures,
-sg_pretraining 5, accurate-fit cadence 10) at HEAD on the deterministic
-synthetic MNIST set, then captures a regression-grade quality snapshot:
+Runs a full reference recipe (any family: codes/mnist_digit_config.json,
+mnist_fashion, or celeba — exp_name picks the data pipeline and trainer,
+like train.py) at HEAD on the deterministic synthetic set, then captures
+a regression-grade quality snapshot:
 
 - final train/val negative-ELBO and reconstruction error
   (the reference's {exp}-result.npz curve semantics, base.py:791-823)
@@ -19,6 +19,10 @@ against a quality number, not only throughput.
 
 Run on TPU:  python scripts/quality_baseline.py --out QUALITY_r04.json
 Smoke test:  python scripts/quality_baseline.py --epochs 2 --n-train 2048
+Regression:  python scripts/quality_baseline.py --check QUALITY_r04.json
+Committed anchors: QUALITY_r04.json (digit, full 30-epoch recipe),
+QUALITY_r04_fashion.json (fashion, full), QUALITY_r04_celeba.json
+(abbreviated 12-epoch run at the full flagship shapes).
 """
 
 import argparse

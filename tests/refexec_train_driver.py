@@ -113,7 +113,12 @@ def main():
         config = json.load(f)
     prior = config["prior"]
     sites = SITES[prior]
-    model = ref_models.MNISTModel_digit(config)
+    model_cls = {
+        "mnist_digit": ref_models.MNISTModel_digit,
+        "mnist_fashion": ref_models.MNISTModel_fashion,
+        "celeba": ref_models.CelebAModel_densenet,
+    }[config.get("exp_name", "mnist_digit")]
+    model = model_cls(config)
     # creation order: z (models.py:100), then t (base.py:167, inner VAE)
     # and/or the MC site (base.py:311/364); define_vampPrior's per-component
     # MVNDiags never call sample()

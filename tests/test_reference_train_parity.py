@@ -15,6 +15,9 @@ tolerance. Family coverage (sub-steps / sample sites):
   vampPrior          ae, sigma, prior                z, MC(z)
   GMM                ae, sigma                       z, MC(z)
   standard_gaussian  ae, sigma                       z
+  celeba_ours        the 'ours' protocol through the reference's CelebA
+                     graph (BN-conv encoder, style decoder, resize+conv
+                     pairs vs our fused-upconv custom VJP), CPU-sized
 
 Noise identity: the driver feeds every reference sample site from
 precomputed eps arrays, and this side monkeypatches
@@ -57,7 +60,11 @@ VAMP_KEYS = ("loss_prior", "crossEntropy_prior_substep")
 FAMILIES = {
     # n_sub: reference sub-steps per batch; sites: eps sample sites in
     # consumption order; mc_dim: the MC estimate's event dim; gm_dim: the
-    # GM feed's space ('ours': t-space, 'GMM': z-space)
+    # GM feed's space ('ours': t-space, 'GMM': z-space). Optional keys:
+    # prior (defaults to the entry name), exp_name/img/batch/steps/cfg
+    # (model-family overrides — the celeba entry runs the SAME 'ours'
+    # protocol through the reference's CelebA graph: BN-conv encoder,
+    # style decoder, resize+conv pairs vs our fused-upconv custom VJP).
     "ours": dict(n_sub=4, sites=("z", "t", "mc"), mc_dim=REP, gm_dim=REP,
                  keys=COMMON_KEYS + INNER_KEYS),
     "hierarchical": dict(n_sub=4, sites=("z", "t"), mc_dim=None, gm_dim=REP,
@@ -68,23 +75,37 @@ FAMILIES = {
                 keys=COMMON_KEYS),
     "standard_gaussian": dict(n_sub=2, sites=("z",), mc_dim=None, gm_dim=REP,
                               keys=COMMON_KEYS),
+    "celeba_ours": dict(
+        n_sub=4, sites=("z", "t", "mc"), mc_dim=REP, gm_dim=REP,
+        keys=COMMON_KEYS + INNER_KEYS, prior="ours",
+        img=(128, 128, 3), batch=4, steps=(3, 3),   # CPU-sized
+        cfg=dict(exp_name="celeba", dim_input_x=128, dim_input_y=128,
+                 dim_input_channel=3, num_hidden_units=32,
+                 use_mask_start=1000)),              # celeba never masks
 }
 
 
-def _make_data(prior, rng):
-    fam = FAMILIES[prior]
+def _fam_shape(fam):
+    """(steps_sg, steps_total, batch, img_shape) with mnist defaults."""
+    s_sg, s_gm = fam.get("steps", (S_SG, S_GM))
+    return s_sg, s_sg + s_gm, fam.get("batch", B), fam.get("img", (28, 28, 1))
+
+
+def _make_data(family, rng):
+    fam = FAMILIES[family]
     n_sub = fam["n_sub"]
+    s_sg, s_all, b, img = _fam_shape(fam)
     data = dict(
-        batches=rng.random((S, B, 28, 28, 1)).astype(np.float32),
-        eps_z=rng.standard_normal((S, n_sub, B, CODE)).astype(np.float32),
-        steps_sg=np.asarray(S_SG),
+        batches=rng.random((s_all, b) + img).astype(np.float32),
+        eps_z=rng.standard_normal((s_all, n_sub, b, CODE)).astype(np.float32),
+        steps_sg=np.asarray(s_sg),
     )
     if "t" in fam["sites"]:
         data["eps_t"] = rng.standard_normal(
-            (S, n_sub, B, REP)).astype(np.float32)
+            (s_all, n_sub, b, REP)).astype(np.float32)
     if "mc" in fam["sites"]:
         data["eps_mc"] = rng.standard_normal(
-            (S, n_sub, L, B, fam["mc_dim"])).astype(np.float32)
+            (s_all, n_sub, L, b, fam["mc_dim"])).astype(np.float32)
     d = fam["gm_dim"]
     a = rng.standard_normal((K, d, d)).astype(np.float32)
     data["gm_cov"] = (a @ a.transpose(0, 2, 1) / d
@@ -95,18 +116,22 @@ def _make_data(prior, rng):
     return data
 
 
-def _family_config(prior, make_config):
+def _family_config(family, make_config):
+    fam = FAMILIES[family]
+    prior = fam.get("prior", family)
+    _, _, b, _ = _fam_shape(fam)
     kw = dict(prior=prior, num_hidden_units=64, code_size=CODE,
-              batch_size=B, n_MC_samples=L, n_mixtures=K, sg_pretraining=1)
+              batch_size=b, n_MC_samples=L, n_mixtures=K, sg_pretraining=1)
     if prior in ("ours", "hierarchical"):
         kw.update(representation_size=REP, num_hidden_units_inner_VAE=16,
                   n_layers_inner_VAE=2)
     if prior == "ours":
         kw.update(use_mask_start=2)
+    kw.update(fam.get("cfg", {}))
     return make_config(**kw)
 
 
-def _run_parity(prior, scratch):
+def _run_parity(family, scratch):
     """Run the reference's train ops and our fused sequential step from
     identical weights/batches/noise; return (cfg, ref, ours, final_params)."""
     pytest.importorskip("tensorflow")
@@ -116,15 +141,17 @@ def _run_parity(prior, scratch):
     from ladder_tpu.training.step import init_state, make_train_step
     from ladder_tpu.utils import tf1_import
 
-    fam = FAMILIES[prior]
-    cfg = _family_config(prior, make_config)
+    fam = FAMILIES[family]
+    prior = fam.get("prior", family)
+    s_sg, s_all, _, _ = _fam_shape(fam)
+    cfg = _family_config(family, make_config)
     cfg["checkpoint_dir"] = str(scratch / "ck")
     model = make_model(cfg)
     params0 = jax.tree.map(np.asarray, model.init(jax.random.PRNGKey(7)))
     tf1_import.export_reference_checkpoint(params0, cfg,
                                            cfg["checkpoint_dir"])
 
-    data = _make_data(prior, np.random.default_rng(3))
+    data = _make_data(family, np.random.default_rng(3))
     np.savez(scratch / "data.npz", **data)
     (scratch / "cfg.json").write_text(json.dumps(cfg))
 
@@ -142,7 +169,7 @@ def _run_parity(prior, scratch):
     # ---- our side: fused sequential step, eps injected in the identical
     # (step, sub-step, site) order the driver feeds
     queue = []
-    for s in range(S):
+    for s in range(s_all):
         for i in range(fam["n_sub"]):
             queue += [data[f"eps_{site}"][s, i] for site in fam["sites"]]
     idx = [0]
@@ -166,8 +193,8 @@ def _run_parity(prior, scratch):
         gm_fit = gm_of(data["gm_cov"], data["gm_means"], data["gm_weights"])
         gm_id = losses.identity_gm(K, fam["gm_dim"])
         ours = {}
-        for s in range(S):
-            in_sg = s < S_SG
+        for s in range(s_all):
+            in_sg = s < s_sg
             e = (1 if in_sg else 2) if prior == "GMM" else \
                 cfg["sg_pretraining"] + (0 if in_sg else 1)
             lrs = {
@@ -232,15 +259,18 @@ TRAJ_TOL = dict(rtol=2e-3, atol=3e-3)
 # final-weight atol: 'ours' measured well inside 2e-4; vampPrior runs the
 # encoder TWICE per forward (pseudo-input reuse), doubling the f32 conv
 # accumulation drift — measured max deviation 4.9e-4 on 2/9216 elements of
-# one kernel
-WEIGHT_ATOL = {"vampPrior": 1e-3}
+# one kernel. celeba's batch-stat BN divides by moments reduced over
+# 65k elements, amplifying TF-vs-XLA f32 reduction-order noise in the
+# gradient — measured 4.1e-4 on 1/216 elements of the first kernel.
+WEIGHT_ATOL = {"vampPrior": 1e-3, "celeba_ours": 1e-3}
 
 
 @pytest.mark.parametrize("prior", list(FAMILIES))
 def test_trajectories_match_reference(parity, prior):
     cfg, ref, ours, _ = parity(prior)
+    _, s_all, _, _ = _fam_shape(FAMILIES[prior])
     for key in FAMILIES[prior]["keys"]:
-        assert ref[key].shape == (S,), key
+        assert ref[key].shape == (s_all,), key
         np.testing.assert_allclose(ours[key], ref[key],
                                    err_msg=f"{prior}:{key}", **TRAJ_TOL)
 
@@ -256,8 +286,9 @@ def test_trajectories_actually_move(parity, prior):
         assert np.std(tr["sigma"]) > 1e-6
     if prior != "standard_gaussian":
         # sg->GM (or identity->fitted GM) switches the cross-entropy
-        assert not np.allclose(ref["crossEntropy_prior"][:S_SG].mean(),
-                               ref["crossEntropy_prior"][S_SG:].mean())
+        s_sg, _, _, _ = _fam_shape(FAMILIES[prior])
+        assert not np.allclose(ref["crossEntropy_prior"][:s_sg].mean(),
+                               ref["crossEntropy_prior"][s_sg:].mean())
 
 
 @pytest.mark.parametrize("prior", list(FAMILIES))
@@ -276,11 +307,52 @@ def test_final_weights_match_reference(parity, prior):
     if prior == "vampPrior":
         assert "prior/Variable" in ref_vars  # the pseudo-input tensor
     atol = WEIGHT_ATOL.get(prior, 2e-4)
+    s_sg, s_all, _, _ = _fam_shape(FAMILIES[prior])
+    # Parameters feeding a mean/variance normaliser have exact gradient
+    # degeneracies: BN/instance-norm subtracts the mean (conv BIAS inert)
+    # and divides by the std (per-output-channel KERNEL SCALE inert). The
+    # true gradient along those directions is 0, so Adam normalises f32
+    # cancellation residue into full lr-scale steps, in noise-determined
+    # directions, on BOTH frameworks. For those layers: compare the
+    # per-channel kernel DIRECTION strictly, and bound the inert
+    # components by the maximum Adam displacement (~lr per step per side,
+    # x(1-b2)^-1/2 transient headroom).
+    norm_fed = set()
+    if cfg["exp_name"] == "celeba":
+        norm_fed = ({f"encoder/conv2d{'' if i == 0 else f'_{i}'}"
+                     for i in range(6)}                       # 6x conv-BN
+                    | {"decoder/conv2d_1", "decoder/conv2d_2",
+                       "decoder/conv2d_4", "decoder/conv2d_6"})  # instnorm
+    drift_bound = 4.0 * s_all * cfg["learning_rate_ae"]
     for name, val in ref_vars.items():
         leaf = final_params
         for key in name_map[name]:
             leaf = leaf[key]
+        a, b = np.asarray(leaf, np.float64), np.asarray(val, np.float64)
+        scope, kind = name.rsplit("/", 1)
+        if scope in norm_fed:
+            assert np.max(np.abs(a - b)) < drift_bound, (
+                f"degenerate-direction drift beyond the Adam bound "
+                f"({prior}): {name}")
+            if kind == "kernel":
+                flat_a = a.reshape(-1, a.shape[-1])
+                flat_b = b.reshape(-1, b.shape[-1])
+                col_norm = np.linalg.norm(flat_b, axis=0)
+                na = flat_a / np.linalg.norm(flat_a, axis=0)
+                nb = flat_b / col_norm
+                # An inert-direction displacement of up to drift_bound per
+                # element (each side) perturbs the NORMALISED column by
+                # <= ~2*drift_bound/||col|| per element (delta(a_i/||a||)
+                # = da_i/||a|| - a_i (a.da)/||a||^3, both terms <= that when
+                # the residue concentrates on few elements — measured:
+                # 411/9216 elements at <= 3.1e-3 vs this bound ~1.1e-2).
+                dir_tol = 1e-3 + 2.0 * drift_bound / col_norm
+                bad = np.abs(na - nb) > dir_tol
+                assert not bad.any(), (
+                    f"kernel direction mismatch ({prior}): {name} — "
+                    f"{bad.sum()}/{bad.size} elements beyond the inert-"
+                    f"noise bound, max {np.max(np.abs(na - nb)):.2e}")
+            continue
         np.testing.assert_allclose(
-            np.asarray(leaf, np.float64), np.asarray(val, np.float64),
-            rtol=2e-3, atol=atol,
+            a, b, rtol=2e-3, atol=atol,
             err_msg=f"final weight mismatch ({prior}): {name}")

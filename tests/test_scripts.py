@@ -5,6 +5,7 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 
 def test_sweep_gmm_script(tmp_path, monkeypatch, capsys):
@@ -343,3 +344,36 @@ def test_quality_baseline_check_mode(tmp_path):
     nofid = dict(base)
     nofid.pop("encoder_fid_generated_vs_test")
     assert mod.check_against(nofid, str(p), 0.05) == 0
+
+
+def test_bench_input_pipeline_script(tmp_path, monkeypatch, capsys):
+    """scripts/bench_input_pipeline.py end-to-end at tiny shapes: the
+    host-side streaming evidence (reader img/s for both backends, the
+    prefetch-thread rate, and the device-ceiling comparison) appears in
+    the single JSON line."""
+    import importlib.util
+
+    from ladder_tpu.data.celeba import ensure_synthetic_tfrecords
+
+    ensure_synthetic_tfrecords(str(tmp_path), n_train=128, n_val=1,
+                               n_test=1, size=32)
+    records = str(tmp_path / "celebA_train.tfrecords")
+    monkeypatch.setattr(sys, "argv", [
+        "bench_input_pipeline.py", "--records", records, "--size", "32",
+        "--batch", "16", "--repeats", "1"])
+    spec = importlib.util.spec_from_file_location(
+        "bench_input_pipeline", "/root/repo/scripts/bench_input_pipeline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main()
+    line = [ln for ln in capsys.readouterr().out.splitlines()
+            if ln.startswith("{")][-1]
+    rec = json.loads(line)
+    assert rec["n_images"] == 128 and rec["batch"] == 16
+    for backend in ("python",) + (("native",) if "native" in rec else ()):
+        r = rec[backend]
+        assert r["img_s"] > 0 and r["mb_s"] > 0 and r["prefetch_img_s"] > 0
+    # device ceiling scales with batch: 16 imgs / (12.24 ms * 16/64)
+    assert rec["device_ceiling_img_s"] == pytest.approx(5228.8, abs=0.3)
+    assert rec["required_transfer_mb_s"] > 0
+    assert rec["host_headroom_x"] > 0

@@ -102,6 +102,12 @@ def place_global_batch(batch, mesh, axis_name=None):
     if n_proc == 1:
         return shard_batch(batch, mesh, axis_name)
     batch = np.asarray(batch)
+    if batch.shape[0] % n_proc:
+        raise ValueError(
+            f"global batch of {batch.shape[0]} rows does not divide across "
+            f"{n_proc} processes — rows would silently drop and the "
+            "assembled global shape would no longer match the compiled "
+            "program's batch size; pick batch_size % process_count == 0")
     per = batch.shape[0] // n_proc
     i = jax.process_index()
     return global_batch_from_local(batch[i * per:(i + 1) * per], mesh,
@@ -117,6 +123,10 @@ def place_global_stack(stack, mesh, axis_name=None):
     if n_proc == 1:
         return jax.device_put(stack, sharding)
     stack = np.asarray(stack)
+    if stack.shape[1] % n_proc:
+        raise ValueError(
+            f"stack batch axis of {stack.shape[1]} rows does not divide "
+            f"across {n_proc} processes (see place_global_batch)")
     per = stack.shape[1] // n_proc
     i = jax.process_index()
     return jax.make_array_from_process_local_data(

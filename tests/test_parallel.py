@@ -305,3 +305,19 @@ def test_global_batch_from_local_single_process(mesh):
     assert x.shape == (16, 4)
     np.testing.assert_array_equal(np.asarray(x), batch)
     assert len(x.sharding.device_set) == 8
+
+
+def test_place_global_batch_rejects_indivisible(mesh, monkeypatch):
+    """Multi-process placement must fail loudly when the global batch does
+    not divide across processes: the floor-division slicing would silently
+    drop rows AND assemble a global array smaller than the compiled
+    program's batch axis."""
+    from ladder_tpu.parallel import mesh as mesh_mod
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 3)
+    batch = np.zeros((16, 4), np.float32)
+    with pytest.raises(ValueError, match="does not divide"):
+        mesh_mod.place_global_batch(batch, mesh)
+    stack = np.zeros((2, 16, 4), np.float32)
+    with pytest.raises(ValueError, match="does not divide"):
+        mesh_mod.place_global_stack(stack, mesh)

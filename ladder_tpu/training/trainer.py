@@ -275,6 +275,9 @@ class JointTrainer:
         finally:
             if old_handler is not None:
                 signal.signal(signal.SIGTERM, old_handler)
+            # train()'s artifact contract is 'on disk when it returns':
+            # drain any async checkpoint writes (no-op when synchronous)
+            self.ckpt.flush()
 
     def train_epoch(self):
         cfg = self.config

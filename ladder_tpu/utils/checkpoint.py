@@ -17,8 +17,11 @@ directory protocol needed for these model sizes (<100 MB).
 from __future__ import annotations
 
 import os
+import queue
+import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -61,6 +64,70 @@ def load_msgpack(path):
         return serialization.msgpack_restore(f.read())
 
 
+class AsyncCheckpointWriter:
+    """Single background writer: the device keeps training while the host
+    fetches, serialises and writes the checkpoint.
+
+    The hot-path cost of a synchronous save is host-side — device->host
+    transfer plus msgpack serialisation plus disk IO of ~3x the parameter
+    bytes (params + Adam m/v), during which the accelerator sits idle
+    between epochs. The async writer moves all of it off the training
+    thread; the only synchronous work left is a device-side `jnp.copy`
+    snapshot (HBM-bandwidth fast), which is REQUIRED for correctness, not
+    just speed: the train step donates its state buffers
+    (training/step.py donate_argnums), so by the time the writer fetches,
+    the original arrays may already be invalidated.
+
+    One worker thread + a bounded queue keeps writes ordered and applies
+    backpressure (at most `depth` checkpoint snapshots alive at once).
+    Writer errors surface on the next submit() or flush() — a failing
+    disk must not be silent."""
+
+    def __init__(self, depth=2):
+        self._q = queue.Queue(maxsize=depth)
+        self._err = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="ckpt-writer")
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            fn = self._q.get()
+            try:
+                fn()
+            except BaseException as e:  # propagate via flush/submit
+                self._err = e
+            finally:
+                self._q.task_done()
+
+    def _check(self):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def submit(self, fn):
+        self._check()
+        self._q.put(fn)
+
+    def flush(self):
+        """Block until every submitted write hit disk; re-raise failures."""
+        self._q.join()
+        self._check()
+
+
+def _snapshot(tree):
+    """Device-side copy of every jax leaf (donation-safe, ~free at HBM
+    bandwidth); host leaves are copied on the host."""
+    def snap(x):
+        if isinstance(x, jax.Array):
+            return jnp.copy(x)
+        if isinstance(x, np.ndarray):
+            return x.copy()
+        return x
+
+    return jax.tree.map(snap, tree)
+
+
 class CheckpointManager:
     def __init__(self, config):
         self.config = config
@@ -68,6 +135,35 @@ class CheckpointManager:
         self.path_vae = os.path.join(ckdir, "vae-model.msgpack")
         self.path_prior = os.path.join(ckdir, "prior-model.msgpack")
         self.path_state = os.path.join(ckdir, "train-state.msgpack")
+        self._writer = None
+
+    def _async_enabled(self):
+        """config['async_checkpoint']=1 moves fetch+serialise+IO to a
+        background thread. Multi-process runs stay synchronous: _to_host's
+        process_allgather is a collective, and collectives must issue in
+        one deterministic order per process — a side thread racing the
+        training thread's collectives could deadlock the cluster. The
+        orbax backend likewise stays synchronous (it has its own async
+        machinery upstream)."""
+        return (bool(self.config.get("async_checkpoint"))
+                and jax.process_count() == 1
+                and self.config.get("checkpoint_backend") != "orbax")
+
+    def _write_msgpack(self, path, tree):
+        if not self._async_enabled():
+            save_msgpack(path, tree)
+            return
+        if self._writer is None:
+            self._writer = AsyncCheckpointWriter()
+        snap = _snapshot(tree)
+        self._writer.submit(lambda: save_msgpack(path, snap))
+
+    def flush(self):
+        """Wait for pending async writes (no-op when synchronous). Call
+        before reading any checkpoint this manager may have written, and
+        when train() returns — its artifact contract is 'on disk'."""
+        if self._writer is not None:
+            self._writer.flush()
 
     # -- reference-parity two-group save/load (base.py:51-85) ----------
     def save(self, state, model="joint"):
@@ -77,17 +173,20 @@ class CheckpointManager:
         has_prior = cfg["prior"] in ("ours", "hierarchical", "vampPrior")
         if model in ("VAE", "joint") and (model == "VAE"
                                           or cfg["TRAIN_VAE"] == 1):
-            save_msgpack(self.path_vae,
-                         {k: params[k] for k in VAE_KEYS if k in params})
+            self._write_msgpack(self.path_vae,
+                                {k: params[k] for k in VAE_KEYS
+                                 if k in params})
             print("Outer VAE model saved.")
         if has_prior and (model == "prior"
                           or (model == "joint" and cfg["TRAIN_prior"] == 1)):
-            save_msgpack(self.path_prior,
-                         {k: params[k] for k in PRIOR_KEYS if k in params})
+            self._write_msgpack(self.path_prior,
+                                {k: params[k] for k in PRIOR_KEYS
+                                 if k in params})
             print("Prior model saved.")
 
     def load(self, state, model):
         """Merge saved params into state; soft-fail like base.py:68-85."""
+        self.flush()  # read-after-write: pending async saves land first
         print("\ncheckpoint_dir to be loaded:\n{}\n".format(
             self.config["checkpoint_dir"]))
         path = self.path_vae if model == "VAE" else self.path_prior
@@ -115,9 +214,10 @@ class CheckpointManager:
         if self.config.get("checkpoint_backend") == "orbax":
             self._orbax_save(payload)
         else:
-            save_msgpack(self.path_state, payload)
+            self._write_msgpack(self.path_state, payload)
 
     def load_full(self, state_template):
+        self.flush()  # read-after-write: pending async saves land first
         if self.config.get("checkpoint_backend") == "orbax":
             raw = self._orbax_load()
             if raw is None:

@@ -93,6 +93,10 @@ _DEFAULTS = {
                                  # (measured 12.44 -> 12.24 ms/step on v5e,
                                  # the op-sum floor) at 2x compile time
     "donate_batch_stack": 0,     # donate the [K,B,...] input stack to XLA
+    "async_checkpoint": 0,       # 1: background-thread checkpoint writes —
+                                 # the device trains on while the host
+                                 # fetches/serialises/writes (single-process
+                                 # msgpack backend only; utils/checkpoint.py)
     "gmm_backend": "jax",        # "jax" (on-device EM/VI) or "sklearn" (parity)
     "fuse_upsample_conv": 1,     # CelebA decoder: fold 2x resizes into convs
                                  # (identical math; see ops/image.py)

@@ -320,3 +320,72 @@ def test_scalar_summaries_written(tmp_path, monkeypatch):
     assert np.isfinite(rows[1]["train_loss"])
     assert rows[1]["val_loss"] is not None
     assert "timing_step_ms" in rows[0]
+
+
+def test_async_checkpoint_e2e_and_resume(tmp_path, monkeypatch):
+    """config['async_checkpoint']=1: per-epoch saves run on the writer
+    thread while training continues; train() drains them, and a fresh
+    trainer restores the identical state (params, moments, GM, epoch)."""
+    cfg, trainer = _train(tmp_path, monkeypatch, prior="ours",
+                          async_checkpoint=1)
+    import jax
+
+    from ladder_tpu.data.mnist import DataGenerator
+    from ladder_tpu.models.builder import make_model
+    from ladder_tpu.training.trainer import MNISTTrainer
+
+    for name in ("vae-model.msgpack", "prior-model.msgpack",
+                 "train-state.msgpack"):
+        assert os.path.isfile(os.path.join(cfg["checkpoint_dir"], name))
+    assert not [f for f in os.listdir(cfg["checkpoint_dir"])
+                if f.endswith(".tmp")]
+
+    t2 = MNISTTrainer(make_model(cfg), DataGenerator(cfg), cfg)
+    t2.restore()
+    assert t2.cur_epoch == 2
+    for x, y in zip(jax.tree.leaves(trainer.state),
+                    jax.tree.leaves(t2.state)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_allclose(np.asarray(t2.gm_fast[0]),
+                               np.asarray(trainer.gm_fast[0]), rtol=1e-6)
+
+
+def test_async_checkpoint_donation_safety(tmp_path):
+    """The snapshot must be taken before the training thread donates the
+    state buffers: save, then invalidate the ORIGINAL arrays via a donating
+    jitted call, then flush — the written checkpoint holds the pre-donation
+    values."""
+    import jax
+    import jax.numpy as jnp
+
+    from ladder_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = {"checkpoint_dir": str(tmp_path) + "/", "prior": "ours",
+           "TRAIN_VAE": 1, "TRAIN_prior": 1, "async_checkpoint": 1}
+    ck = CheckpointManager(cfg)
+    state = {"w": jnp.arange(8, dtype=jnp.float32)}
+    ck.save_full(state)
+
+    donate = jax.jit(lambda x: x + 1.0, donate_argnums=(0,))
+    _ = donate(state["w"])  # invalidates the original buffer
+    ck.flush()
+    restored, _extra = ck.load_full({"w": jnp.zeros(8, jnp.float32)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                  np.arange(8, dtype=np.float32))
+
+
+def test_async_checkpoint_error_propagation(tmp_path):
+    """A failing disk must not be silent: the worker's exception re-raises
+    on flush()."""
+    import jax.numpy as jnp
+    import pytest
+
+    from ladder_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = {"checkpoint_dir": str(tmp_path / "missing" / "deeper") + "/",
+           "prior": "ours", "TRAIN_VAE": 1, "TRAIN_prior": 1,
+           "async_checkpoint": 1}
+    ck = CheckpointManager(cfg)
+    ck.save_full({"w": jnp.zeros(4)})
+    with pytest.raises(RuntimeError, match="async checkpoint write failed"):
+        ck.flush()

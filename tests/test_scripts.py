@@ -377,3 +377,46 @@ def test_bench_input_pipeline_script(tmp_path, monkeypatch, capsys):
     assert rec["device_ceiling_img_s"] == pytest.approx(5228.8, abs=0.3)
     assert rec["required_transfer_mb_s"] > 0
     assert rec["host_headroom_x"] > 0
+
+
+def test_memory_report_script(tmp_path, capsys):
+    """scripts/memory_report.py on a tiny config: XLA's compiled memory
+    stats come back for the single-device, data-mesh and TP-mesh cases,
+    and the 4x2 TP mesh reports strictly smaller per-device argument
+    bytes than the 8-way data mesh (the params/Adam shards vs replicas)."""
+    from tests.conftest import make_config
+
+    cfg = make_config(prior="ours", n_MC_samples=2, num_hidden_units=64,
+                      num_hidden_units_inner_VAE=16, n_layers_inner_VAE=2,
+                      batch_size=16, fused_train_step=2)
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "memory_report", "/root/repo/scripts/memory_report.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    def run(*argv):
+        assert mod.main(["--config", str(cfg_path), *argv]) == 0
+        line = capsys.readouterr().out.strip().splitlines()[-1]
+        return json.loads(line)
+
+    single = run()
+    assert single["n_devices"] == 1
+    assert single["state_mb"]["params"] > 0
+    c = single["compiled_per_device_mb"]
+    assert c["arguments"] > 0 and c["temps"] > 0
+    assert single["peak_estimate_mb"] > 0
+
+    dp = run("--mesh", "8")
+    tp = run("--mesh", "4,2")
+    assert dp["n_devices"] == tp["n_devices"] == 8
+    # TP shards the state over the model axis; DP replicates it
+    assert (tp["compiled_per_device_mb"]["arguments"]
+            < 0.75 * dp["compiled_per_device_mb"]["arguments"])
+
+    multi = run("--steps-per-call", "2", "--unroll", "2")
+    assert multi["steps_per_call"] == 2
+    assert multi["compiled_per_device_mb"]["arguments"] > 0

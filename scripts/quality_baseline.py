@@ -22,7 +22,9 @@ Smoke test:  python scripts/quality_baseline.py --epochs 2 --n-train 2048
 Regression:  python scripts/quality_baseline.py --check QUALITY_r04.json
 Committed anchors: QUALITY_r04.json (digit, full 30-epoch recipe),
 QUALITY_r04_fashion.json (fashion, full), QUALITY_r04_celeba.json
-(abbreviated 12-epoch run at the full flagship shapes).
+(the FULL 50-epoch reference recipe at the flagship shapes — h=512,
+z=256, batch 64, sg_pretraining 10, staircase lr — on the 12.8k-image
+synthetic set; 63 min on v5e).
 """
 
 import argparse

@@ -45,6 +45,12 @@ def main(argv=None):
                     help="override num_epochs (default: recipe value)")
     ap.add_argument("--n-train", type=int, default=60000)
     ap.add_argument("--n-test", type=int, default=10000)
+    ap.add_argument("--data-dir", default=None,
+                    help="train on REAL data from this directory instead of "
+                         "the synthetic set (mnist.npz / idx layout for the "
+                         "MNIST families, celebA_*.tfrecords for celeba; "
+                         "see scripts/make_small_real_data.py and "
+                         "docs/REAL_DATA.md)")
     ap.add_argument("--fid-samples", type=int, default=2048)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default=None,
@@ -76,16 +82,26 @@ def main(argv=None):
 
     workdir = args.workdir or tempfile.mkdtemp(prefix="quality_baseline_")
     cfg = process_config(args.config)
+    if args.data_dir:
+        data_cfg = {
+            "synthetic_data": 0,
+            "data_dir": args.data_dir,
+        }
+    else:
+        data_cfg = {
+            "synthetic_data": 1,
+            "synthetic_n_train": args.n_train,
+            "synthetic_n_test": args.n_test,
+        }
+    cfg.update(data_cfg)
     cfg.update({
-        "synthetic_data": 1,
-        "synthetic_n_train": args.n_train,
-        "synthetic_n_test": args.n_test,
         "load_model": 0,
         "enable_plots": 0,          # quality numbers only; plots are
         "num_iter_to_plot": 0,      # covered by the artifact-parity tests
         "fused_train_step": args.fused,
         "seed": args.seed,
-        "data_path": os.path.join(workdir, "data") + "/",
+        "data_path": (args.data_dir if args.data_dir
+                      else os.path.join(workdir, "data") + "/"),
         "result_dir": os.path.join(workdir, "result") + "/",
         "checkpoint_dir": os.path.join(workdir, "ckpt") + "/",
     })
@@ -127,7 +143,12 @@ def main(argv=None):
         "recipe": {k: cfg[k] for k in (
             "exp_name", "prior", "num_epochs", "batch_size", "n_mixtures",
             "sg_pretraining", "accurate_fit", "n_MC_samples")},
-        "synthetic_n_train": args.n_train,
+        "data": ({"kind": "real", "dir": args.data_dir,
+                  "n_train": int(data.n_train), "n_val": int(data.n_val)}
+                 if args.data_dir else
+                 {"kind": "synthetic", "n_train": args.n_train,
+                  "n_test": args.n_test}),
+        "synthetic_n_train": None if args.data_dir else args.n_train,
         "overrides": json.loads(args.override) if args.override else None,
         "seed": args.seed,
         "train_wall_s": round(train_wall, 1),
@@ -167,10 +188,13 @@ def main(argv=None):
     from ladder_tpu.serving import InferenceEngine
     from ladder_tpu.utils.fid import compute_FID_score, encoder_feature_fn
 
+    from ladder_tpu.models.builder import PRIORS_WITH_GM
+
     n = args.fid_samples
-    if record["active_mixtures"] is None:
-        # smoke run without a GM fit: 'ours' generation needs the
-        # hyper-prior; record the curve/sigma snapshot only
+    if cfg["prior"] in PRIORS_WITH_GM and record["active_mixtures"] is None:
+        # smoke run without a GM fit: 'ours'/'GMM' generation needs the
+        # hyper-prior; record the curve/sigma snapshot only (the other
+        # prior families generate without a GM, so their FID still runs)
         record["encoder_fid_generated_vs_test"] = None
         record["workdir"] = workdir
         with open(args.out, "w") as f:
@@ -184,8 +208,8 @@ def main(argv=None):
     # original-set preprocessing divides by 255 (reference data files are
     # uint8-scale): the MNIST loader yields [0,1] so store x255; the CelebA
     # pipeline yields uint8 [0,255] already
+    n = min(n, data.n_val)  # real small datasets can undercut --fid-samples
     if cfg["exp_name"] == "celeba":
-        n = min(n, data.n_val)
         xt = np.asarray(data.val.first_batch(n), np.float32)
     else:
         xt = np.asarray(data.val_set["image"][:n], np.float32) * 255.0

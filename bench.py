@@ -342,7 +342,7 @@ def main():
         if float(np.median(step_mss)) < 0.8 * float(np.median(implied)):
             detail["warning_window"] = (
                 "window step time undercuts the whole-run wall-clock "
-                "bound by >10%: the timed window opened late and the "
+                "bound by >20%: the timed window opened late and the "
                 "reported rate is NOT trustworthy; use wall_step_ms")
 
     if args.streamed_steps > 0 and mesh is None:

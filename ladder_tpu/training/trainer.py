@@ -605,7 +605,12 @@ class JointTrainer:
                     self._plot_gm(samples, self.gm_final, "accurate-GM")
 
     def _plot_gm(self, samples, gm, mode):
-        samples = self._host(samples)  # collective: before the lead gate
+        # collectives: gather BOTH samples and the gm params before the
+        # lead gate — under the jax GMM backend gm_fast/gm_final are
+        # device arrays, non-fully-addressable in a multi-process run,
+        # and np.asarray inside plotting would raise on the lead process
+        samples = self._host(samples)
+        gm = tuple(self._host(a) for a in gm)
         if not self.is_lead:
             return
         w, m, K = gm

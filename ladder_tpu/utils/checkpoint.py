@@ -101,9 +101,19 @@ class AsyncCheckpointWriter:
                 self._q.task_done()
 
     def _check(self):
+        # STICKY: once a write fails, every later submit()/flush() fails
+        # too until reset_error() — a checkpoint stream with a hole in it
+        # must never look healthy again by itself (a later flush()
+        # returning success would claim disk state the failed write never
+        # produced).
         if self._err is not None:
-            err, self._err = self._err, None
-            raise RuntimeError("async checkpoint write failed") from err
+            raise RuntimeError(
+                "async checkpoint write failed (sticky until reset_error())"
+            ) from self._err
+
+    def reset_error(self):
+        """Explicitly acknowledge a failed write and resume the stream."""
+        self._err = None
 
     def submit(self, fn):
         self._check()
@@ -149,14 +159,25 @@ class CheckpointManager:
                 and jax.process_count() == 1
                 and self.config.get("checkpoint_backend") != "orbax")
 
-    def _write_msgpack(self, path, tree):
+    def _write_msgpack(self, path, tree, done_msg=None):
+        """done_msg, when given, is printed only AFTER the bytes are on
+        disk — in async mode that means inside the writer thread, so the
+        log never claims success for a write that later fails."""
         if not self._async_enabled():
             save_msgpack(path, tree)
+            if done_msg:
+                print(done_msg)
             return
         if self._writer is None:
             self._writer = AsyncCheckpointWriter()
         snap = _snapshot(tree)
-        self._writer.submit(lambda: save_msgpack(path, snap))
+
+        def _write():
+            save_msgpack(path, snap)
+            if done_msg:
+                print(done_msg)
+
+        self._writer.submit(_write)
 
     def flush(self):
         """Wait for pending async writes (no-op when synchronous). Call
@@ -175,14 +196,14 @@ class CheckpointManager:
                                           or cfg["TRAIN_VAE"] == 1):
             self._write_msgpack(self.path_vae,
                                 {k: params[k] for k in VAE_KEYS
-                                 if k in params})
-            print("Outer VAE model saved.")
+                                 if k in params},
+                                done_msg="Outer VAE model saved.")
         if has_prior and (model == "prior"
                           or (model == "joint" and cfg["TRAIN_prior"] == 1)):
             self._write_msgpack(self.path_prior,
                                 {k: params[k] for k in PRIOR_KEYS
-                                 if k in params})
-            print("Prior model saved.")
+                                 if k in params},
+                                done_msg="Prior model saved.")
 
     def load(self, state, model):
         """Merge saved params into state; soft-fail like base.py:68-85."""

@@ -218,9 +218,16 @@ def test_two_process_trainer_e2e(tmp_path):
     GM-fit phase). Every file artifact is written exactly once (process-0
     gating: no scalars.jsonl duplication, no checkpoint/tmp races), both
     processes agree on the curves, and the curves equal a single-process
-    run of the identical global program."""
-    cfg, c0 = _run_two_process_trainer(tmp_path)
-    _assert_curves_match(c0, _single_process_curves(tmp_path))
+    run of the identical global program.
+
+    steps_per_call=2 (ADVICE r4): the MNIST trainer prefetches batches as
+    global jax.Arrays, so K>1 drives _place_stack's array branch — eager
+    jnp.stack of non-fully-addressable global arrays + the cross-process
+    device_put reshard to the [K, B] scan layout — under a real 2-process
+    cluster (trainer.py:157-165)."""
+    extra = {"steps_per_call": 2}
+    cfg, c0 = _run_two_process_trainer(tmp_path, extra)
+    _assert_curves_match(c0, _single_process_curves(tmp_path, extra))
 
 
 def test_two_process_tp_trainer_e2e(tmp_path):

@@ -100,9 +100,15 @@ def test_train_on_real_handwritten_digits(tmp_path):
     trainer.train()
 
     res = np.load(os.path.join(cfg["result_dir"], "mnist_digit-result.npz"))
+    # npz `train_loss` is the reference's PER-STEP buffer (appended once per
+    # ae step, /root/reference/codes/base.py:798): 2 epochs x (1438//256)=5
+    # steps -> 10 entries. Per-epoch averages live in train_loss_ave_epoch.
     train_loss = np.asarray(res["train_loss"])
-    assert len(train_loss) == 2
-    assert train_loss[-1] < train_loss[0]  # learning real structure
+    steps_per_epoch = 1438 // 256
+    assert len(train_loss) == 2 * steps_per_epoch
+    # learning real structure: second-epoch mean below first-epoch mean
+    assert train_loss[steps_per_epoch:].mean() \
+        < train_loss[:steps_per_epoch].mean()
     sigma = np.asarray(res["sigma"])
     assert sigma[-1] < float(cfg["sigma"])  # sigma annealing engaged
     assert os.path.isfile(os.path.join(cfg["result_dir"],

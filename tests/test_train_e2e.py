@@ -389,3 +389,16 @@ def test_async_checkpoint_error_propagation(tmp_path):
     ck.save_full({"w": jnp.zeros(4)})
     with pytest.raises(RuntimeError, match="async checkpoint write failed"):
         ck.flush()
+    # STICKY: the error must not clear itself — a later flush() returning
+    # success would claim disk state the failed write never produced
+    with pytest.raises(RuntimeError, match="sticky"):
+        ck.flush()
+    with pytest.raises(RuntimeError, match="sticky"):
+        ck.save_full({"w": jnp.zeros(4)})
+    # explicit acknowledgement resumes the stream
+    ck._writer.reset_error()
+    os.makedirs(cfg["checkpoint_dir"], exist_ok=True)
+    ck.save_full({"w": jnp.ones(4)})
+    ck.flush()
+    restored, _ = ck.load_full({"w": jnp.zeros(4)})
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.ones(4))

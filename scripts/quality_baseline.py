@@ -24,7 +24,12 @@ Committed anchors: QUALITY_r04.json (digit, full 30-epoch recipe),
 QUALITY_r04_fashion.json (fashion, full), QUALITY_r04_celeba.json
 (the FULL 50-epoch reference recipe at the flagship shapes — h=512,
 z=256, batch 64, sg_pretraining 10, staircase lr — on the 12.8k-image
-synthetic set; 63 min on v5e).
+synthetic set; 63 min on v5e). Data-regime caveat for the CelebA anchor:
+the reference trains on 180k real images (data_loader.py:16-17) vs this
+record's 12.8k synthetic, so epochs see 200 steps instead of ~2,800 and
+the anneal/refit cadence runs in a correspondingly different regime —
+the record anchors THIS framework's regression surface, not the paper's
+absolute numbers.
 """
 
 import argparse

@@ -43,6 +43,22 @@ data.npz:
            trainers.py:39 vs base.py:868; GMM: cur_epoch 1 with the
            identity GM feed of base.py:913-921). The rest run one epoch
            later with the npz GM / the learned prior.
+
+COMPOSED GM-CYCLE mode (optional keys; 'ours' and 'GMM' priors): when
+  fit_batches [F, B, H, W, C]  is present, the signature LaDDer rhythm runs
+  in full: after the sg-phase steps the driver encodes every fit batch
+  through the reference's own graph (representation_sample for 'ours',
+  code_sample for 'GMM' — the exact fetch-and-feed protocol of
+  /root/reference/codes/base.py:683-709, eps fed from
+  eps_fit_z [F, B, code] / eps_fit_t [F, B, rep]), fits the reference's
+  OWN sklearn mixture object model.GM_prior_training (created verbatim by
+  define_GM_prior, base.py:88-106; .fit() is base.py:710) after seeding
+  numpy's global RNG with fit_seed [] (sklearn inits from the global
+  RandomState when random_state=None), and the remaining steps feed
+  GM_prior_training.means_/covariances_/weights_ exactly as
+  compute_feeddict does after sg_pretraining (base.py:885-895). The npz
+  gm_* keys are ignored in phase 2 and the output gains fit_w / fit_m /
+  fit_K / fit_samples.
 """
 
 import argparse
@@ -147,6 +163,12 @@ def main():
         traj_keys = traj_keys + VAMP_KEYS
     traj = {k: [] for k in traj_keys}
 
+    # composed GM-cycle mode: phase 2 feeds the reference's OWN fit of its
+    # own encodings instead of the npz GM (base.py:885-895); populated by
+    # run_reference_fit() between the phases
+    cycle = "fit_batches" in data
+    fitted = {}
+
     def build_feed(s, in_sg, cur_epoch):
         """compute_feeddict per family (base.py:863-942)."""
         feed = {
@@ -169,6 +191,10 @@ def main():
                     np.eye(gm_dim, dtype=np.float32), (n_mix, 1, 1))
                 feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
                                                    np.float32)
+            elif cycle:
+                feed[model.prior_mean] = fitted["m"]
+                feed[model.prior_cov] = fitted["K"]
+                feed[model.prior_weight] = fitted["w"]
             else:
                 feed[model.prior_mean] = data["gm_means"]
                 feed[model.prior_cov] = data["gm_cov"]
@@ -183,11 +209,52 @@ def main():
                     np.eye(gm_dim, dtype=np.float32), (n_mix, 1, 1))
                 feed[model.prior_weight] = np.full((n_mix,), 1.0 / n_mix,
                                                    np.float32)
+            elif cycle:
+                # base.py:925-933: +0.01*I jitter on the fitted covariances
+                feed[model.prior_mean] = fitted["m"]
+                feed[model.prior_cov] = (
+                    fitted["K"]
+                    + 0.01 * np.eye(gm_dim, dtype=np.float32)[None])
+                feed[model.prior_weight] = fitted["w"]
             else:
                 feed[model.prior_mean] = data["gm_means"]
                 feed[model.prior_cov] = data["gm_cov"]
                 feed[model.prior_weight] = data["gm_weights"]
         return feed
+
+    def run_reference_fit(sess):
+        """The reference's fast-fit protocol between the two phases: encode
+        every fit batch with the graph's OWN sample nodes
+        (base.py:683-709), then model.GM_prior_training.fit(samples)
+        (base.py:710 — the sklearn object define_GM_prior created)."""
+        space = "t" if prior == "ours" else "z"
+        fetch = (model.representation_sample if space == "t"
+                 else model.code_sample)
+        chunks = []
+        for i in range(data["fit_batches"].shape[0]):
+            f = {model.original_signal: data["fit_batches"][i],
+                 model.is_code_input: False,
+                 model.code_input: np.zeros((1, code), np.float32),
+                 ph["z"]: data["eps_fit_z"][i]}
+            if space == "t":
+                f.update({model.is_outer_VAE_input: True,
+                          model.customised_inner_VAE_input: np.zeros(
+                              (1, code), np.float32),
+                          model.is_representation_input: False,
+                          model.representation_input: np.zeros(
+                              (1, rep), np.float32),
+                          ph["t"]: data["eps_fit_t"][i]})
+            chunks.append(sess.run(fetch, feed_dict=f))
+        samples = np.concatenate(chunks, axis=0)
+        # the reference never sets random_state: sklearn inits (kmeans)
+        # from numpy's global RandomState — pin it so both sides of the
+        # parity harness fit from the same initialisation
+        np.random.seed(int(data["fit_seed"]))
+        model.GM_prior_training.fit(samples)
+        fitted["w"] = model.GM_prior_training.weights_
+        fitted["m"] = model.GM_prior_training.means_
+        fitted["K"] = model.GM_prior_training.covariances_
+        return samples
 
     with tf1.Session() as sess:
         sess.run(tf1.global_variables_initializer())
@@ -195,8 +262,13 @@ def main():
         if joint:
             model.load(sess, "prior")
 
+        fit_samples = None
         for s in range(S):
             in_sg = s < steps_sg
+            if cycle and s == steps_sg:
+                # the epoch boundary: fit_GM runs between the epochs
+                # (trainers.py:47-48), feeding the next epoch's steps
+                fit_samples = run_reference_fit(sess)
             # GMM has no sg-overlap epoch: phase 1 IS epoch 1
             cur_epoch = (1 if in_sg else 2) if prior == "GMM" else \
                         (sgp if in_sg else sgp + 1)
@@ -264,6 +336,11 @@ def main():
                 traj["loss_prior"].append(vals[1])
 
         out = {k: np.asarray(v) for k, v in traj.items()}
+        if cycle:
+            out["fit_w"] = fitted["w"]
+            out["fit_m"] = fitted["m"]
+            out["fit_K"] = fitted["K"]
+            out["fit_samples"] = fit_samples
         for v in tf1.trainable_variables():
             out[f"var::{v.op.name}"] = sess.run(v)
     np.savez(args.out, **out)

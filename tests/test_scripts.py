@@ -420,3 +420,74 @@ def test_memory_report_script(tmp_path, capsys):
     multi = run("--steps-per-call", "2", "--unroll", "2")
     assert multi["steps_per_call"] == 2
     assert multi["compiled_per_device_mb"]["arguments"] > 0
+
+
+def test_quality_check_uses_seed_spread_tolerances(tmp_path):
+    """Per-metric tolerances derive from the anchor's measured seed_spread
+    (VERDICT r4 item 7): a drift inside 2x the recorded spread passes, one
+    beyond it fails even when the old global rtol would have let it by."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "quality_baseline_spread", "/root/repo/scripts/quality_baseline.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    base = {"final_val_neg_elbo": -1426.26, "final_train_neg_elbo": -1423.8,
+            "final_val_recons": 22.4, "final_train_recons": 22.46,
+            "sigma_final": 0.0282, "encoder_fid_generated_vs_test": 0.0092,
+            "active_mixtures": 23,
+            "seed_spread": {"seeds": [0, 1, 2],
+                            "rel": {"final_val_neg_elbo": 0.004,
+                                    "sigma_final": 0.05},
+                            "active_mixtures_band": 4}}
+    p = tmp_path / "base.json"
+    p.write_text(json.dumps(base))
+    # 0.6% ELBO drift: inside 2x the 0.4% spread -> pass
+    ok = dict(base, final_val_neg_elbo=-1426.26 * 1.006)
+    assert mod.check_against(ok, str(p), 0.05) == 0
+    # 2% ELBO drift: beyond 2x spread -> fail, though global rtol=5%
+    # would have passed it (the calibration's whole point)
+    bad = dict(base, final_val_neg_elbo=-1426.26 * 1.02)
+    assert mod.check_against(bad, str(p), 0.05) == 1
+    # sigma spread is wide (5%): an 8% drift still passes at 2x
+    loose = dict(base, sigma_final=0.0282 * 1.08)
+    assert mod.check_against(loose, str(p), 0.05) == 0
+    # the measured active-mixture band replaces the 30% default
+    assert mod.check_against(dict(base, active_mixtures=27),
+                             str(p), 0.05) == 0
+    assert mod.check_against(dict(base, active_mixtures=28),
+                             str(p), 0.05) == 1
+
+
+def test_mode_parity_combine_script(tmp_path):
+    """scripts/mode_parity_combine.py aggregates a mode-1/mode-2 sweep
+    into per-metric gap-vs-spread verdicts."""
+    import importlib.util
+
+    for m in (1, 2):
+        for s in (0, 1, 2):
+            rec = {"recipe": {"exp_name": "celeba"}, "overrides": None,
+                   "train_wall_s": 100.0 + m + s,
+                   "final_val_neg_elbo": -82000.0 - 50 * s - 20 * m,
+                   "final_train_neg_elbo": -77000.0 - 40 * s,
+                   "final_val_recons": 1600.0 + s,
+                   "final_train_recons": 1700.0 + s,
+                   "sigma_final": 0.03,
+                   # mode gap (10) far beyond seed spread (1)
+                   "encoder_fid_generated_vs_test": 29.0 + 0.5 * s + 10 * m,
+                   "active_mixtures": 13 + s}
+            (tmp_path / f"m{m}_s{s}.json").write_text(json.dumps(rec))
+    spec = importlib.util.spec_from_file_location(
+        "mode_parity_combine", "/root/repo/scripts/mode_parity_combine.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = tmp_path / "combined.json"
+    assert mod.main([str(tmp_path), "--out", str(out)]) == 0
+    rec = json.loads(out.read_text())
+    v = rec["verdict_gap_within_spread"]
+    assert v["final_val_neg_elbo"] is True      # gap 20 <= spread 100
+    assert v["final_train_neg_elbo"] is True    # gap 0
+    assert v["encoder_fid_generated_vs_test"] is False  # gap 10 > spread 1
+    assert rec["all_primary_within_spread"] is True
+    m1 = rec["metrics"]["final_val_neg_elbo"]["mode1"]
+    assert m1["values"] == [-82020.0, -82070.0, -82120.0]

@@ -55,6 +55,9 @@ def main(argv=None):
                       "spread": spread[2]},
             "mode_gap": gap,
             "mode_gap_rel": gap / scale,
+            # signed: negative means mode2's mean is LOWER (better for
+            # neg-ELBO/recons/FID, where lower = better)
+            "mode2_minus_mode1_mean": means[2] - means[1],
             "max_seed_spread": max_spread,
             "gap_within_spread": bool(gap <= max_spread),
         }

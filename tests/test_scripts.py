@@ -491,3 +491,8 @@ def test_mode_parity_combine_script(tmp_path):
     assert rec["all_primary_within_spread"] is True
     m1 = rec["metrics"]["final_val_neg_elbo"]["mode1"]
     assert m1["values"] == [-82020.0, -82070.0, -82120.0]
+    # signed direction: mode2's FID mean is 10 above mode1's
+    fid = rec["metrics"]["encoder_fid_generated_vs_test"]
+    assert fid["mode2_minus_mode1_mean"] == pytest.approx(10.0)
+    elbo = rec["metrics"]["final_val_neg_elbo"]
+    assert elbo["mode2_minus_mode1_mean"] == pytest.approx(-20.0)
